@@ -1,0 +1,184 @@
+"""Typed configuration for the TPU SLAM engine.
+
+Covers the reference JSON schema (reference: src/core/tracker.cpp:29-99,
+config/kitti_config_stereo.json) plus every algorithmic constant the reference hardcodes
+(SURVEY.md Appendix A), surfaced as fields so they are tunable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole + radial-tangential distortion camera model.
+
+    Mirrors the reference `camera` JSON block (config/kitti_config_stereo.json:4-19).
+    """
+
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 1241
+    height: int = 376
+    fps: float = 10.0
+    bf: float = 386.1448  # baseline * fx (stereo)
+    rgb: bool = True
+    depth_map_factor: float = 0.0
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(v) > 0 for v in (self.k1, self.k2, self.p1, self.p2, self.k3))
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB extractor parameters (reference: config `orb_parameters`,
+    src/orb_features/orb_extractor.cpp)."""
+
+    num_features: int = 2000
+    scale_factor: float = 1.2
+    num_levels: int = 8
+    ini_thresh_fast: int = 20
+    min_thresh_fast: int = 7
+    # Constants hardcoded in the reference (orb_extractor.cpp:13-15, :710):
+    patch_size: int = 31
+    half_patch_size: int = 15
+    edge_threshold: int = 19
+    fast_cell_size: int = 32  # reference uses 30 (orb_extractor.cpp:710); 32 tiles evenly
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor-matching thresholds (reference: src/orb_features/orb_matcher.cpp:5-7)."""
+
+    th_low: int = 50
+    th_high: int = 100
+    histo_length: int = 30
+    nn_ratio_tracking: float = 0.9
+    nn_ratio_reloc: float = 0.75
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Tracking-stage thresholds (reference: src/core/tracker.cpp, SURVEY.md App. A)."""
+
+    grid_cols: int = 64
+    grid_rows: int = 48
+    min_matches_ref_kf: int = 15
+    min_map_matches: int = 10
+    min_matches_motion_model: int = 20
+    track_local_map_min_inliers: int = 30
+    track_local_map_min_inliers_reloc: int = 50
+    local_map_kf_cap: int = 80
+    new_kf_ref_ratio: float = 0.75
+    new_kf_ref_ratio_few_kfs: float = 0.4
+    new_kf_ref_ratio_mono: float = 0.9
+    mono_init_min_matches: int = 100
+    depth_threshold_factor: float = 35.0  # depth_threshold_ = bf*th/fx (tracker.cpp:91-94)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Local-mapping thresholds (reference: src/core/local_mapper.cpp)."""
+
+    covisibility_edge_min: int = 15           # keyframe.cpp:230
+    point_cull_found_ratio: float = 0.25      # local_mapper.cpp:236-251
+    kf_cull_redundancy: float = 0.9           # local_mapper.cpp:609
+    triangulation_neighbors: int = 10         # local_mapper.cpp:264 (20 mono)
+    local_ba_iters_first: int = 5             # optimizer.cpp:611
+    local_ba_iters_second: int = 10           # optimizer.cpp:655
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop-closing thresholds (reference: src/core/loop_closer.cpp, loop_closer.h:81)."""
+
+    min_kf_gap: int = 10
+    consistency_threshold: int = 3
+    sim3_min_inliers: int = 20
+    accept_total_matches: int = 40
+    essential_graph_min_feat: int = 100
+    essential_graph_iters: int = 20
+    global_ba_iters: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Fixed-capacity arena sizes — the TPU-native replacement for the reference's
+    dynamically grown pointer graph (SURVEY.md §7). All device arrays are allocated at
+    these capacities; liveness is tracked with masks."""
+
+    max_keyframes: int = 2048
+    max_map_points: int = 262144
+    max_features: int = 2048          # per-frame feature slots (>= OrbConfig.num_features)
+    max_obs_per_point: int = 32       # capped observation fan-in used in BA
+    local_window_kfs: int = 128       # local-BA camera window cap (incl. fixed boundary)
+    local_window_points: int = 16384  # local-BA landmark cap
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
+    capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+    sensor: str = "stereo"  # "stereo" | "rgbd" | "monocular" (util/sensor_type.h:4-8)
+    vocabulary_path: Optional[str] = None
+    use_viewer: bool = False
+
+    @property
+    def depth_threshold(self) -> float:
+        """Close/far stereo point split: bf * factor / fx (tracker.cpp:91-94)."""
+        return self.camera.bf * self.tracker.depth_threshold_factor / self.camera.fx
+
+    @property
+    def min_frames_between_kfs(self) -> int:
+        return 0  # tracker.cpp:58
+
+    @property
+    def max_frames_between_kfs(self) -> int:
+        return int(self.camera.fps)  # tracker.cpp:60
+
+    @staticmethod
+    def from_json(path: str, sensor: str = "stereo") -> "SlamConfig":
+        """Load the reference JSON schema (slam_system.cpp:14-17, tracker.cpp:29-99)."""
+        with open(path) as f:
+            raw = json.load(f)
+        cam_raw = raw.get("camera", {})
+        cam = CameraConfig(
+            **{k: v for k, v in cam_raw.items() if k in {f.name for f in dataclasses.fields(CameraConfig)}}
+        )
+        orb_raw = raw.get("orb_parameters", {})
+        orb = OrbConfig(
+            num_features=orb_raw.get("num_features", 2000),
+            scale_factor=orb_raw.get("scale_factor", 1.2),
+            num_levels=orb_raw.get("num_levels", 8),
+            ini_thresh_fast=orb_raw.get("ini_thresh_FAST", 20),
+            min_thresh_fast=orb_raw.get("min_thresh_FAST", 7),
+        )
+        tuning = raw.get("tuning_params", {})
+        tracker = TrackerConfig(depth_threshold_factor=float(tuning.get("depth_threshold", 35.0)))
+        return SlamConfig(
+            camera=cam,
+            orb=orb,
+            tracker=tracker,
+            sensor=sensor,
+            vocabulary_path=raw.get("orb_vocabulary"),
+        )

@@ -1,0 +1,189 @@
+"""SO3/SE3 Lie-group operations as pure, batchable JAX functions.
+
+TPU-native replacement for the reference's g2o SE3Quat / Eigen types
+(reference: third_party/g2o/g2o/types/types_six_dof_expmap.h, src/util/converter.cpp).
+Everything is fp32, closed-form, and safe at small angles (Taylor fallbacks), so it can
+sit inside jit/scan/vmap without data-dependent branches.
+
+Conventions:
+  - Rotations are 3x3 matrices; poses are 4x4 homogeneous matrices T = [[R, t], [0, 1]].
+  - Twists are 6-vectors xi = (omega, upsilon): rotation first, translation second.
+  - `exp` uses the SE3 exponential with the V matrix (left Jacobian of SO3), matching
+    g2o's SE3Quat::exp semantics used by the reference optimizer (optimizer.cpp).
+  - Retraction during optimization is LEFT-multiplicative: T <- exp(xi) @ T, matching
+    g2o's VertexSE3Expmap::oplusImpl (third_party/g2o/g2o/types/types_six_dof_expmap.h).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from slam_framework_tpu.utils.precision import einsum as _einsum, matmul as _mm
+
+_EPS = 1e-8
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+    """so3 hat operator: (..., 3) -> (..., 3, 3) skew-symmetric."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zeros = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -wz, wy], axis=-1),
+            jnp.stack([wz, zeros, -wx], axis=-1),
+            jnp.stack([-wy, wx, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def vee(W: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of hat: (..., 3, 3) -> (..., 3)."""
+    return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
+
+
+def _sinc_coeffs(theta2: jnp.ndarray):
+    """Numerically safe A = sin(t)/t, B = (1-cos t)/t^2, C = (1 - A)/t^2."""
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    small = theta2 < 1e-8
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, _EPS * _EPS))
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / jnp.maximum(theta2, _EPS * _EPS))
+    return A, B, C
+
+
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """SO3 exponential map: (..., 3) axis-angle -> (..., 3, 3) rotation (Rodrigues)."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    A, B, _ = _sinc_coeffs(theta2)
+    W = hat(w)
+    W2 = _mm(W, W)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + A[..., None, None] * W + B[..., None, None] * W2
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """SO3 logarithm: (..., 3, 3) -> (..., 3) axis-angle. Safe near 0 and pi."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    # Generic: vee((R - R^T)/2) * theta/sin(theta)
+    w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
+    sin_theta = jnp.sin(theta)
+    near_pi = cos_theta < -1.0 + 1e-5
+    small = theta < 1e-5
+    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.where(jnp.abs(sin_theta) < _EPS, 1.0, sin_theta))
+    w_generic = w_skew * scale[..., None]
+    # Near pi: axis from diagonal of (R + I)/2 = aa^T scaled
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    axis2 = jnp.maximum((diag + 1.0) * 0.5, 0.0)
+    axis = jnp.sqrt(axis2)
+    # Fix signs using off-diagonal sums (R + R^T has entries 2*a_i*a_j*(1-cos))
+    s12 = R[..., 0, 1] + R[..., 1, 0]
+    s13 = R[..., 0, 2] + R[..., 2, 0]
+    s23 = R[..., 1, 2] + R[..., 2, 1]
+    # Choose the largest axis component as positive, sign others consistently.
+    ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
+    use_x = (ax >= ay) & (ax >= az)
+    use_y = (~use_x) & (ay >= az)
+    sy = jnp.where(use_x, jnp.sign(s12), jnp.where(use_y, 1.0, jnp.sign(s23)))
+    sx = jnp.where(use_x, 1.0, jnp.where(use_y, jnp.sign(s12), jnp.sign(s13)))
+    sz = jnp.where(use_x, jnp.sign(s13), jnp.where(use_y, jnp.sign(s23), 1.0))
+    sx = jnp.where(sx == 0, 1.0, sx)
+    sy = jnp.where(sy == 0, 1.0, sy)
+    sz = jnp.where(sz == 0, 1.0, sz)
+    w_pi = jnp.stack([sx * ax, sy * ay, sz * az], axis=-1) * theta[..., None]
+    return jnp.where(near_pi[..., None], w_pi, w_generic)
+
+
+def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
+    """Left Jacobian V of SO3 such that exp_se3((w, u)) has translation V @ u."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    _, B, C = _sinc_coeffs(theta2)
+    W = hat(w)
+    W2 = _mm(W, W)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + B[..., None, None] * W + C[..., None, None] * W2
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """SE3 exponential: (..., 6) twist (omega, upsilon) -> (..., 4, 4)."""
+    w, u = xi[..., :3], xi[..., 3:]
+    R = so3_exp(w)
+    V = so3_left_jacobian(w)
+    t = _einsum("...ij,...j->...i", V, u)
+    return rt_to_mat(R, t)
+
+
+def se3_log(T: jnp.ndarray) -> jnp.ndarray:
+    """SE3 logarithm: (..., 4, 4) -> (..., 6) twist (omega, upsilon)."""
+    R, t = mat_to_rt(T)
+    w = so3_log(R)
+    V = so3_left_jacobian(w)
+    u = jnp.linalg.solve(V, t[..., None])[..., 0]
+    return jnp.concatenate([w, u], axis=-1)
+
+
+def rt_to_mat(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Assemble (..., 4, 4) from (..., 3, 3) and (..., 3)."""
+    batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])
+    R = jnp.broadcast_to(R, batch + (3, 3))
+    t = jnp.broadcast_to(t, batch + (3,))
+    top = jnp.concatenate([R, t[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), batch + (4,)
+    )[..., None, :]
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def mat_to_rt(T: jnp.ndarray):
+    return T[..., :3, :3], T[..., :3, 3]
+
+
+def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    R, t = mat_to_rt(T)
+    Rt = jnp.swapaxes(R, -1, -2)
+    return rt_to_mat(Rt, -_einsum("...ij,...j->...i", Rt, t))
+
+
+def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply (..., 4, 4) to (..., N, 3) (or (..., 3)) points."""
+    R, t = mat_to_rt(T)
+    return _einsum("...ij,...nj->...ni", R, jnp.atleast_2d(pts)) + t[..., None, :]
+
+
+def rotation_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) -> (..., 4) quaternion (x, y, z, w), KITTI/TUM export convention."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    # Branch-free Shepperd method: compute all four candidates, pick the best-conditioned.
+    qw2 = jnp.maximum(0.0, 1.0 + tr) * 0.25
+    qx2 = jnp.maximum(0.0, 1.0 + m00 - m11 - m22) * 0.25
+    qy2 = jnp.maximum(0.0, 1.0 - m00 + m11 - m22) * 0.25
+    qz2 = jnp.maximum(0.0, 1.0 - m00 - m11 + m22) * 0.25
+    qw = jnp.sqrt(qw2)
+    qx = jnp.sqrt(qx2)
+    qy = jnp.sqrt(qy2)
+    qz = jnp.sqrt(qz2)
+    # Sign fix against the dominant component.
+    case = jnp.argmax(jnp.stack([qw2, qx2, qy2, qz2], axis=-1), axis=-1)
+    sgn = jnp.sign
+    qw_c0, qx_c0, qy_c0, qz_c0 = qw, qx * sgn(m21 - m12), qy * sgn(m02 - m20), qz * sgn(m10 - m01)
+    qw_c1, qx_c1, qy_c1, qz_c1 = qw * sgn(m21 - m12), qx, qy * sgn(m01 + m10), qz * sgn(m02 + m20)
+    qw_c2, qx_c2, qy_c2, qz_c2 = qw * sgn(m02 - m20), qx * sgn(m01 + m10), qy, qz * sgn(m12 + m21)
+    qw_c3, qx_c3, qy_c3, qz_c3 = qw * sgn(m10 - m01), qx * sgn(m02 + m20), qy * sgn(m12 + m21), qz
+    quats = jnp.stack(
+        [
+            jnp.stack([qx_c0, qy_c0, qz_c0, qw_c0], axis=-1),
+            jnp.stack([qx_c1, qy_c1, qz_c1, qw_c1], axis=-1),
+            jnp.stack([qx_c2, qy_c2, qz_c2, qw_c2], axis=-1),
+            jnp.stack([qx_c3, qy_c3, qz_c3, qw_c3], axis=-1),
+        ],
+        axis=-2,
+    )
+    q = jnp.take_along_axis(quats, case[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
+    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(norm, _EPS)

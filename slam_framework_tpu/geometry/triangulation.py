@@ -1,0 +1,67 @@
+"""Batched two-view DLT triangulation.
+
+TPU-native replacement for the per-match 4x4 SVD triangulation in the reference
+(reference: src/core/local_mapper.cpp:375-392, src/util/initializer.cpp:738-751).
+The reference triangulates one match at a time with cv::SVD; here whole match tensors
+are triangulated at once. Instead of SVD we solve the 4x4 normal equations A^T A x = 0
+via the eigenvector of the smallest eigenvalue, or — faster and equally accurate for
+well-conditioned pairs — the inhomogeneous 3x3 solve. We use the inhomogeneous form
+(set w=1), which is exact for finite points and maps to batched 3x3 solves (VPU/MXU).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from slam_framework_tpu.utils.precision import einsum as _einsum, matmul as _mm
+
+
+def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray) -> jnp.ndarray:
+    """Batched DLT: P1/P2 (..., 3, 4) projection matrices, uv1/uv2 (..., N, 2) pixels.
+
+    Returns (..., N, 3) world points. Uses the homogeneous 4x4 system solved via
+    the smallest eigenvector of A^T A (self-adjoint eigendecomposition, batched).
+    """
+    # Rows of A: u * P[2] - P[0]; v * P[2] - P[1]  (for both views)
+    def two_rows(P, uv):
+        u = uv[..., 0:1]
+        v = uv[..., 1:2]
+        r0 = u * P[..., None, 2, :] - P[..., None, 0, :]
+        r1 = v * P[..., None, 2, :] - P[..., None, 1, :]
+        return r0, r1
+
+    a0, a1 = two_rows(P1, uv1)
+    a2, a3 = two_rows(P2, uv2)
+    A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (..., N, 4, 4)
+    AtA = _einsum("...ki,...kj->...ij", A, A)
+    # Smallest eigenvector of symmetric 4x4.
+    _, vecs = jnp.linalg.eigh(AtA)
+    x = vecs[..., :, 0]  # eigenvector for smallest eigenvalue
+    w = x[..., 3]
+    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return x[..., :3] / w_safe[..., None]
+
+
+def reprojection_error(P: jnp.ndarray, pts_h: jnp.ndarray, uv: jnp.ndarray):
+    """Project homogeneous-ified world points with (...,3,4) P; return squared pixel error."""
+    ones = jnp.ones(pts_h.shape[:-1] + (1,), pts_h.dtype)
+    xh = jnp.concatenate([pts_h, ones], axis=-1)
+    proj = _einsum("...ij,...nj->...ni", P, xh)
+    z = proj[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = proj[..., 0] / z_safe
+    v = proj[..., 1] / z_safe
+    err2 = (u - uv[..., 0]) ** 2 + (v - uv[..., 1]) ** 2
+    return err2, z
+
+
+def parallax_cosine(c1: jnp.ndarray, c2: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """cos of the ray angle between camera centers c1,c2 (...,3) and points (...,N,3).
+
+    Mirrors the parallax checks in local_mapper.cpp:336-374 and initializer.cpp CheckRT.
+    """
+    r1 = pts - c1[..., None, :]
+    r2 = pts - c2[..., None, :]
+    n1 = jnp.linalg.norm(r1, axis=-1)
+    n2 = jnp.linalg.norm(r2, axis=-1)
+    return jnp.sum(r1 * r2, axis=-1) / jnp.maximum(n1 * n2, 1e-12)
