@@ -89,6 +89,13 @@ class TrackerConfig:
     new_kf_ref_ratio_mono: float = 0.9
     mono_init_min_matches: int = 100
     depth_threshold_factor: float = 35.0  # depth_threshold_ = bf*th/fx (tracker.cpp:91-94)
+    # Rotational damping of the constant-velocity motion model. The reference
+    # extrapolates the full SE3 velocity (tracker.cpp:765); undamped rotational
+    # extrapolation couples with map insertion into an unstable feedback loop
+    # (empirically: geometric error growth ~1.55x/frame until loss). Damping the
+    # rotation-rate prediction by this factor keeps turn-following while making the
+    # loop contractive.
+    velocity_rotation_damping: float = 0.75
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,8 +133,12 @@ class CapacityConfig:
     max_map_points: int = 262144
     max_features: int = 2048          # per-frame feature slots (>= OrbConfig.num_features)
     max_obs_per_point: int = 32       # capped observation fan-in used in BA
-    local_window_kfs: int = 128       # local-BA camera window cap (incl. fixed boundary)
-    local_window_points: int = 16384  # local-BA landmark cap
+    local_window_kfs: int = 128       # local-map KF cap for tracking association
+    local_window_points: int = 16384  # local-map point cap for tracking association
+    ba_cams: int = 32                 # local-BA camera slots (window + fixed boundary)
+    ba_points: int = 4096             # local-BA landmark slots
+    ba_obs: int = 16384               # local-BA observation slots
+    ba_obs_per_point: int = 8         # capped per-point fan-in in the Schur pair tensor
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,108 @@
+"""Per-frame front-end: extraction + stereo association as one jitted program.
+
+TPU-native replacement for the Frame constructors
+(reference: src/data/frame.cpp:61-209 — parallel L/R ORB extraction, undistortion,
+ComputeStereoMatches, grid assignment). The reference's 64x48 feature grid exists to
+accelerate windowed search; our matchers build dense window gates instead, so the grid
+is unnecessary. The whole front-end is one XLA program per image geometry.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_framework_tpu.config import SlamConfig
+from slam_framework_tpu.geometry.projection import Intrinsics
+from slam_framework_tpu.ops import pyramid, stereo_match
+from slam_framework_tpu.ops.extractor import Features, OrbExtractor
+
+
+class FrameData(NamedTuple):
+    """Fixed-capacity per-frame data block (device arrays)."""
+
+    xy: jnp.ndarray       # (N, 2) f32 level-0 pixel coords
+    response: jnp.ndarray  # (N,)
+    angle: jnp.ndarray    # (N,)
+    octave: jnp.ndarray   # (N,) int32
+    desc: jnp.ndarray     # (N, 8) uint32
+    valid: jnp.ndarray    # (N,) bool
+    u_right: jnp.ndarray  # (N,) f32, -1 if no stereo match
+    depth: jnp.ndarray    # (N,) f32, -1 if unknown
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+
+class StereoFrontend:
+    """left+right grayscale -> FrameData. Compiles once per image geometry."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.K = Intrinsics(
+            cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy, cfg.camera.bf
+        )
+        self.extractor = OrbExtractor(cfg.orb, max_features=cfg.capacity.max_features)
+        self._jit = jax.jit(self._process)
+
+    def __call__(self, left: jnp.ndarray, right: jnp.ndarray) -> FrameData:
+        return self._jit(left, right)
+
+    def _process(self, left: jnp.ndarray, right: jnp.ndarray) -> FrameData:
+        cfg = self.cfg
+        fl: Features = self.extractor._extract(left)
+        fr: Features = self.extractor._extract(right)
+        lp = pyramid.build_pyramid(
+            left.astype(jnp.float32), cfg.orb.num_levels, cfg.orb.scale_factor
+        )
+        rp = pyramid.build_pyramid(
+            right.astype(jnp.float32), cfg.orb.num_levels, cfg.orb.scale_factor
+        )
+        sm = stereo_match.match_stereo(fl, fr, lp, rp, self.K, self.extractor.scales)
+        return FrameData(
+            xy=fl.xy,
+            response=fl.response,
+            angle=fl.angle,
+            octave=fl.octave,
+            desc=fl.desc,
+            valid=fl.valid,
+            u_right=sm.u_right,
+            depth=sm.depth,
+        )
+
+
+class MonoFrontend:
+    """Single grayscale image -> FrameData (depth/u_right invalid)."""
+
+    def __init__(self, cfg: SlamConfig, feature_multiplier: int = 1):
+        self.cfg = cfg
+        self.K = Intrinsics(
+            cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy, 0.0
+        )
+        import dataclasses
+
+        orb = dataclasses.replace(
+            cfg.orb, num_features=cfg.orb.num_features * feature_multiplier
+        )
+        self.extractor = OrbExtractor(orb, max_features=cfg.capacity.max_features * feature_multiplier)
+        self._jit = jax.jit(self._process)
+
+    def __call__(self, img: jnp.ndarray) -> FrameData:
+        return self._jit(img)
+
+    def _process(self, img: jnp.ndarray) -> FrameData:
+        f: Features = self.extractor._extract(img)
+        n = f.xy.shape[0]
+        return FrameData(
+            xy=f.xy,
+            response=f.response,
+            angle=f.angle,
+            octave=f.octave,
+            desc=f.desc,
+            valid=f.valid,
+            u_right=jnp.full((n,), -1.0, jnp.float32),
+            depth=jnp.full((n,), -1.0, jnp.float32),
+        )

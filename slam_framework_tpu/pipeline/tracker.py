@@ -1,0 +1,547 @@
+"""Stereo tracking stage: device-resident state machine + lag-batched host sync.
+
+TPU-native replacement for the Tracker thread (reference: src/core/tracker.{h,cpp}):
+stereo initialization (:249-295), motion-model tracking (:756-824), local-map tracking
+(:1136-1174), keyframe decision (:1229-1309) and creation (:1311-1379), trajectory
+bookkeeping (:629-642).
+
+Architecture (differs deliberately from the reference's per-frame mutex dance):
+the ENTIRE per-frame computation — ORB front-end, stereo matching, motion-model
+association + pose optimization, local-map association + pose optimization, velocity
+update, keyframe statistics — is ONE jitted device program `_step` whose tracking
+state (last pose/velocity/features/point slots) never leaves the device. The host
+reads back only a small per-frame summary, fetched in batches of `sync_every` frames
+with one RPC (the deployment TPU sits behind a ~30 ms-latency tunnel; per-frame
+blocking reads would cap throughput at ~30 fps regardless of compute).
+
+Consequence: keyframe decisions run `sync_every` frames behind the tracked frame —
+the same bounded-staleness the reference accepts by running LocalMapping
+asynchronously (SURVEY.md §2.3). Map updates re-enter the device as a refreshed
+local point block at each keyframe.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_framework_tpu.config import SlamConfig
+from slam_framework_tpu.geometry import se3
+from slam_framework_tpu.map.arena import MapArena
+from slam_framework_tpu.pipeline import track_ops
+from slam_framework_tpu.pipeline.frame import FrameData, StereoFrontend
+from slam_framework_tpu.pipeline.local_mapper import LocalMapper
+
+
+class TrackingState(enum.Enum):
+    """Mirrors src/util/tracking_state.h."""
+
+    SYSTEM_NOT_READY = 0
+    NO_IMAGES_YET = 1
+    NOT_INITIALIZED = 2
+    OK = 3
+    LOST = 4
+
+
+class DeviceTrackState(NamedTuple):
+    """Per-frame tracking state that stays on device across frames."""
+
+    pose: jnp.ndarray        # (4,4) Tcw of last tracked frame
+    velocity: jnp.ndarray    # (4,4) T_cur_last motion model
+    desc: jnp.ndarray        # (N,8) last frame descriptors
+    octave: jnp.ndarray      # (N,) int32
+    angle: jnp.ndarray       # (N,) f32
+    pt_pos: jnp.ndarray      # (N,3) world position of the point tracked by each feature
+    pt_mask: jnp.ndarray     # (N,) bool — feature has a map point
+    assoc_slot: jnp.ndarray  # (N,) int32 — local-block slot per feature (-1 none)
+
+
+# summary layout (f32): [0:16]=pose, [16]=n_matches, [17]=n_inliers,
+# [18]=n_close_tracked, [19]=n_close_untracked, [20]=n_valid_feats
+SUMMARY_LEN = 24
+
+
+class FrameRecord:
+    __slots__ = ["frame_id", "timestamp", "pose", "lost", "ref_kf"]
+
+    def __init__(self, frame_id, timestamp, pose, lost, ref_kf):
+        self.frame_id = frame_id
+        self.timestamp = timestamp
+        self.pose = pose
+        self.lost = lost
+        self.ref_kf = ref_kf
+
+
+class StereoTracker:
+    MIN_INIT_FEATURES = 500  # reference: stereo init needs > 500 features (tracker.cpp:251)
+    MIN_INIT_STEREO = 250    # and a healthy number of actual stereo depths
+
+    def __init__(self, cfg: SlamConfig, arena: Optional[MapArena] = None, sync_every: int = 4):
+        self.cfg = cfg
+        self.frontend = StereoFrontend(cfg)
+        self.K = self.frontend.K
+        self.arena = arena or MapArena.create(cfg.capacity, cfg.capacity.max_features)
+        self.state = TrackingState.NO_IMAGES_YET
+        self.sync_every = max(1, sync_every)
+        self.ref_kf = -1
+        self.ref_kf_tracked = 0
+        self.last_kf_frame_id = -1
+        self.frame_id = 0
+        self.records: list[FrameRecord] = []
+        self.metrics: list[dict] = []
+        self.on_new_keyframe = None  # hook: called with kf id after insertion
+
+        self.local_mapper = LocalMapper(cfg, self.arena, self.K)
+        self._dstate: Optional[DeviceTrackState] = None
+        self._block = None            # device PointBlock for local-map association
+        self._block_ids = None        # (P,) np int32 — global point id per block slot
+        self._buf = []                # buffered (left, right, frame_id, ts) awaiting dispatch
+        self._pending = []            # [(ids, tss, summaries_dev, packs_dev, descs_dev)]
+        self._jit_chunk = jax.jit(self._chunk)
+
+    # ------------------------------------------------------------------ device program
+
+    def _chunk(self, state: DeviceTrackState, images, block: track_ops.PointBlock):
+        """Run `sync_every` tracked frames in ONE device dispatch via lax.scan.
+
+        images: (K, 2, H, W) uint8. The deployment TPU sits behind a relay with
+        ~100-150 ms of per-execution overhead; scanning K frames per dispatch
+        amortizes it (single-frame dispatch capped throughput at ~4 fps regardless
+        of compute)."""
+
+        def body(st, img):
+            st2, summary, pack, desc = self._step_core(st, img[0], img[1], block)
+            return st2, (summary, pack, desc)
+
+        state, (summaries, packs, descs) = jax.lax.scan(body, state, images)
+        return state, summaries, packs, descs
+
+    def _step_core(self, state: DeviceTrackState, left, right, block: track_ops.PointBlock):
+        cfg = self.cfg
+        fd = self.frontend._process(left, right)
+        pred = state.velocity @ state.pose
+
+        res1 = track_ops.track_motion(
+            fd, pred, state.pt_pos, state.desc, state.octave, state.angle,
+            state.pt_mask, K=self.K,
+            num_levels=cfg.orb.num_levels, scale_factor=cfg.orb.scale_factor,
+        )
+        # carry block slots through the motion association
+        ok1 = (res1.assoc >= 0) & res1.inlier
+        prior = jnp.where(ok1, state.assoc_slot[jnp.maximum(res1.assoc, 0)], -1)
+
+        res2 = track_ops.track_local_map(
+            fd, res1.pose, prior, block, K=self.K,
+            num_levels=cfg.orb.num_levels, scale_factor=cfg.orb.scale_factor,
+            image_wh=(cfg.camera.width, cfg.camera.height),
+        )
+        ok2 = (res2.assoc >= 0) & res2.inlier
+        slot = jnp.where(ok2, res2.assoc, -1)
+
+        vel_full = res2.pose @ se3.se3_inverse(state.pose)
+        gamma = cfg.tracker.velocity_rotation_damping
+        w_damped = se3.so3_log(vel_full[:3, :3]) * gamma
+        velocity = se3.rt_to_mat(se3.so3_exp(w_damped), vel_full[:3, 3])
+        new_state = DeviceTrackState(
+            pose=res2.pose,
+            velocity=velocity,
+            desc=fd.desc,
+            octave=fd.octave,
+            angle=fd.angle,
+            pt_pos=block.pos[jnp.maximum(slot, 0)],
+            pt_mask=slot >= 0,
+            assoc_slot=slot,
+        )
+
+        close = (fd.depth > 0) & (fd.depth < cfg.depth_threshold) & fd.valid
+        summary = jnp.zeros(SUMMARY_LEN, jnp.float32)
+        summary = summary.at[0:16].set(res2.pose.reshape(-1))
+        summary = summary.at[16].set(res2.n_matches.astype(jnp.float32))
+        summary = summary.at[17].set(res2.n_inliers.astype(jnp.float32))
+        summary = summary.at[18].set(jnp.sum((close & (slot >= 0)).astype(jnp.int32)).astype(jnp.float32))
+        summary = summary.at[19].set(jnp.sum((close & (slot < 0)).astype(jnp.int32)).astype(jnp.float32))
+        summary = summary.at[20].set(jnp.sum(fd.valid.astype(jnp.int32)).astype(jnp.float32))
+
+        # duplicate-suppression: existing block point each unassociated feature
+        # re-detects (OrbMatcher::Fuse semantics) — used at keyframe creation
+        fuse = track_ops.fuse_candidates(
+            fd, res2.pose, slot, block, K=self.K,
+            num_levels=cfg.orb.num_levels, scale_factor=cfg.orb.scale_factor,
+            image_wh=(cfg.camera.width, cfg.camera.height),
+        )
+
+        # per-frame pack for (rare) keyframe creation: one f32 + one u32 fetch
+        pack = jnp.stack(
+            [
+                fd.xy[:, 0], fd.xy[:, 1], fd.u_right, fd.depth,
+                fd.octave.astype(jnp.float32), fd.angle,
+                fd.valid.astype(jnp.float32), slot.astype(jnp.float32),
+                fuse.astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        return new_state, summary, pack, fd.desc
+
+    # ------------------------------------------------------------------ main entry
+
+    def track(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
+        """Feed one stereo pair. Returns the latest SYNCED pose (lags sync_every
+        frames) or None before initialization. Call flush() to drain at end."""
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            ok = self._initialize(left, right, timestamp)
+            self.state = TrackingState.OK if ok else TrackingState.NOT_INITIALIZED
+            self.frame_id += 1
+            return self.records[-1].pose if ok else None
+
+        self._buf.append((left, right, self.frame_id, timestamp))
+        self.frame_id += 1
+        if len(self._buf) >= self.sync_every:
+            self._dispatch()
+            self._drain()
+        return self.records[-1].pose if self.records else None
+
+    def flush(self) -> None:
+        """Process all buffered/pending frames (end of sequence or map queries)."""
+        if self._buf:
+            self._dispatch()
+        while self._pending:
+            self._drain()
+
+    def _dispatch(self) -> None:
+        batch = self._buf
+        self._buf = []
+        images = np.stack([np.stack([b[0], b[1]]) for b in batch])  # (K,2,H,W)
+        st, summaries, packs, descs = self._jit_chunk(
+            self._dstate, jnp.asarray(images), self._block
+        )
+        self._dstate = st
+        self._pending.append(
+            ([b[2] for b in batch], [b[3] for b in batch], summaries, packs, descs)
+        )
+
+    # ------------------------------------------------------------------ host sync
+
+    def _drain(self) -> None:
+        fids, tss, summaries_dev, packs_dev, descs_dev = self._pending.pop(0)
+        summaries = jax.device_get(summaries_dev)  # ONE RPC for the whole chunk
+        made_kf = False
+        for j, (fid, ts) in enumerate(zip(fids, tss)):
+            s = summaries[j]
+            pose = s[0:16].reshape(4, 4).astype(np.float32)
+            n_inliers = int(s[17])
+            lost = n_inliers < self.cfg.tracker.track_local_map_min_inliers
+            if lost:
+                self.state = TrackingState.LOST
+                rec = FrameRecord(fid, ts, None, True, self.ref_kf)
+            else:
+                self.state = TrackingState.OK
+                rec = FrameRecord(fid, ts, pose, False, self.ref_kf)
+                self.metrics.append({"matches": int(s[16]), "inliers": n_inliers})
+                if not made_kf and self._need_new_keyframe(fid, s):
+                    self._create_keyframe(fid, ts, pose, packs_dev[j], descs_dev[j])
+                    rec.ref_kf = self.ref_kf
+                    made_kf = True  # at most one KF per chunk
+            self.records.append(rec)
+
+    def _need_new_keyframe(self, fid: int, s: np.ndarray) -> bool:
+        """NeedNewKeyFrame (tracker.cpp:1229-1309) from the device summary."""
+        cfg = self.cfg
+        n_inliers = int(s[17])
+        if n_inliers < 15:
+            return False
+        frames_since = fid - self.last_kf_frame_id
+        tracked_close = int(s[18])
+        untracked_close = int(s[19])
+        need_close = tracked_close < 100 and untracked_close > 70
+        ref_ratio = 0.75 if self.arena.n_valid_kfs > 2 else 0.4
+        # reference compares against ref-KF map points with >= 3 observations
+        # (KeyFrame::TrackedMapPoints, tracker.cpp:1262-1264), not all associations
+        under_ratio = n_inliers < self._ref_kf_tracked_strong() * ref_ratio
+        overdue = frames_since >= cfg.max_frames_between_kfs
+        return overdue or (
+            (under_ratio or need_close)
+            and frames_since >= max(cfg.min_frames_between_kfs, 1)
+            and n_inliers > 15
+        )
+
+    # ------------------------------------------------------------------ init / keyframes
+
+    def _initialize(self, left, right, timestamp) -> bool:
+        """StereoInitialization (tracker.cpp:249-295): first KF + a point per stereo
+        feature; builds the initial device state + local block."""
+        fd = self.frontend(jnp.asarray(left), jnp.asarray(right))
+        host = jax.device_get(
+            {
+                "xy": fd.xy, "angle": fd.angle, "octave": fd.octave,
+                "desc": fd.desc, "valid": fd.valid, "u_right": fd.u_right,
+                "depth": fd.depth,
+            }
+        )
+        has_depth = (host["depth"] > 0) & host["valid"]
+        if host["valid"].sum() < self.MIN_INIT_FEATURES or has_depth.sum() < self.MIN_INIT_STEREO:
+            return False
+        pose = np.eye(4, dtype=np.float32)
+        n = len(host["depth"])
+        point_ids = np.full(n, -1, np.int32)
+        kf = self.arena.add_keyframe(
+            pose, self.frame_id, timestamp,
+            host["xy"], host["u_right"], host["depth"],
+            host["octave"].astype(np.int16), host["angle"], host["desc"],
+            host["valid"], point_ids.copy(),
+        )
+        idx = np.nonzero(has_depth)[0]
+        pids = self._create_points_from_stereo(kf, idx, pose, host["xy"], host["depth"], host["octave"], host["desc"])
+        point_ids[idx] = pids
+        self.local_mapper.note_new_points(pids, kf)
+        self.arena.kf_point_idx[kf, :n] = point_ids
+        self._rebuild_block()
+        slot = self._ids_to_slots(point_ids)
+        self._dstate = DeviceTrackState(
+            pose=jnp.asarray(pose),
+            velocity=jnp.eye(4, dtype=jnp.float32),
+            desc=jnp.asarray(host["desc"]),
+            octave=jnp.asarray(host["octave"].astype(np.int32)),
+            angle=jnp.asarray(host["angle"]),
+            pt_pos=jnp.asarray(self._block_pos_for_slots(slot)),
+            pt_mask=jnp.asarray(slot >= 0),
+            assoc_slot=jnp.asarray(slot),
+        )
+        rec = FrameRecord(self.frame_id, timestamp, pose, False, kf)
+        self.records.append(rec)
+        self.ref_kf = kf
+        self.ref_kf_tracked = int(has_depth.sum())
+        self.last_kf_frame_id = self.frame_id
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf)
+        return True
+
+    def _create_points_from_stereo(self, kf, feat_idx, pose, xy, depth, octave, desc) -> np.ndarray:
+        """Vectorized point creation from stereo depth (tracker.cpp:262-283)."""
+        arena = self.arena
+        cfg = self.cfg
+        z = depth[feat_idx]
+        u = xy[feat_idx, 0]
+        v = xy[feat_idx, 1]
+        x = (u - self.K.cx) * z / self.K.fx
+        y = (v - self.K.cy) * z / self.K.fy
+        Twc = np.linalg.inv(pose)
+        pos = (Twc[:3, :3] @ np.stack([x, y, z], 0)).T + Twc[:3, 3]
+        center = Twc[:3, 3]
+        delta = pos - center
+        dist = np.linalg.norm(delta, axis=1)
+        sf = cfg.orb.scale_factor
+        max_dist = dist * (sf ** octave[feat_idx].astype(np.float32))
+        min_dist = max_dist / (sf ** (cfg.orb.num_levels - 1))
+        pids = np.empty(len(feat_idx), np.int32)
+        for i, f in enumerate(feat_idx):
+            pid = arena.add_point(
+                pos[i], desc[f], kf, delta[i] / max(dist[i], 1e-9),
+                float(min_dist[i]), float(max_dist[i]),
+            )
+            arena.associate(kf, int(f), pid)
+            pids[i] = pid
+        return pids
+
+    def _ref_kf_tracked_strong(self) -> int:
+        """Number of reference-KF map points with >= min_obs observations
+        (KeyFrame::TrackedMapPoints(3), keyframe.cpp:416-435)."""
+        if self.ref_kf < 0:
+            return 0
+        arena = self.arena
+        min_obs = 3 if arena.n_valid_kfs > 2 else 2
+        pids = arena.kf_point_idx[self.ref_kf]
+        pids = pids[pids >= 0]
+        if len(pids) == 0:
+            return 0
+        return int((arena.pt_valid[pids] & (arena.pt_obs_count[pids] >= min_obs)).sum())
+
+    def _create_keyframe(self, fid, ts, pose, pack_dev, desc_dev) -> int:
+        """CreateNewKeyFrame (tracker.cpp:1311-1379) for a (lag-synced) frame."""
+        arena = self.arena
+        cfg = self.cfg
+        pack, desc = jax.device_get([pack_dev, desc_dev])
+        xy = pack[:, 0:2]
+        u_right = pack[:, 2]
+        depth = pack[:, 3]
+        octave = pack[:, 4].astype(np.int16)
+        angle = pack[:, 5]
+        valid = pack[:, 6] > 0.5
+        slot = pack[:, 7].astype(np.int32)
+        fuse = pack[:, 8].astype(np.int32)
+        # fuse re-detections into existing points before considering new ones
+        slot = np.where(slot >= 0, slot, fuse)
+        point_ids = np.where(slot >= 0, self._block_ids[np.maximum(slot, 0)], -1).astype(np.int32)
+        point_ids[point_ids >= 0] = np.where(
+            arena.pt_valid[point_ids[point_ids >= 0]], point_ids[point_ids >= 0], -1
+        )
+        kf = arena.add_keyframe(
+            pose, fid, ts, xy, u_right, depth, octave, angle, desc, valid,
+            point_ids.copy(),
+        )
+        # New points for ALL unassociated stereo depths. The reference creates only
+        # close ones here (tracker.cpp:1340-1373) and relies on LocalMapper's
+        # multi-view triangulation (local_mapper.cpp:258-492) for far points; far
+        # stereo points are noisier but local BA refines them with multi-view
+        # constraints, and starving the map of far points decays tracking.
+        cand = np.nonzero((depth > 0) & valid & (point_ids < 0))[0]
+        cand = cand[np.argsort(depth[cand], kind="stable")]
+        if len(cand):
+            pids = self._create_points_from_stereo(kf, cand, pose, xy, depth, octave, desc)
+            point_ids[cand] = pids
+            self.local_mapper.note_new_points(pids, kf)
+        arena.kf_point_idx[kf] = point_ids
+        # found/visible counters for tracked points
+        seen = point_ids[point_ids >= 0]
+        arena.pt_n_found[seen] += 1
+        arena.pt_n_visible[seen] += 1
+        self._update_point_stats(seen)
+        self.ref_kf = kf
+        self.ref_kf_tracked = int((point_ids >= 0).sum())
+        self.last_kf_frame_id = fid
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf)
+        self.local_mapper.process_keyframe(kf)
+        old_ids = self._block_ids
+        self._rebuild_block()
+        self._remap_device_state(old_ids)
+        return kf
+
+    def _remap_device_state(self, old_ids: np.ndarray) -> None:
+        """After a block rebuild, the device state's assoc_slot indices refer to the
+        OLD block layout; remap them to the new one (one small D2H+H2D per keyframe)."""
+        st = self._dstate
+        if st is None:
+            return
+        slots_old = jax.device_get(st.assoc_slot)
+        pids = np.where(slots_old >= 0, old_ids[np.maximum(slots_old, 0)], -1)
+        new_slots = self._ids_to_slots(pids)
+        self._dstate = st._replace(
+            assoc_slot=jnp.asarray(new_slots),
+            pt_mask=jnp.asarray(new_slots >= 0),
+        )
+
+    # ------------------------------------------------------------------ local map block
+
+    def _rebuild_block(self) -> None:
+        """Assemble the device point block from the current local map
+        (UpdateLocalKeyFrames/Points, tracker.cpp:1002-1134): points of the newest
+        keyframe's covisible set, capped; refreshed on every map change."""
+        arena = self.arena
+        kf = self.ref_kf if self.ref_kf >= 0 else arena.num_kfs - 1
+        kfs = arena.covisible_keyframes(kf, min_shared=15, max_n=self.cfg.tracker.local_map_kf_cap - 1)
+        kfs = np.concatenate([[kf], kfs]).astype(np.int64)
+        pid_set = arena.kf_point_idx[kfs].reshape(-1)
+        pid_set = np.unique(pid_set[pid_set >= 0])
+        pid_set = pid_set[arena.pt_valid[pid_set]]
+        cap = self.cfg.capacity.local_window_points
+        if len(pid_set) > cap:
+            pid_set = pid_set[-cap:]
+        P = cap
+        ids = np.full(P, -1, np.int32)
+        ids[: len(pid_set)] = pid_set
+        sl = slice(0, len(pid_set))
+        pos = np.zeros((P, 3), np.float32)
+        pos[sl] = arena.pt_pos[pid_set]
+        desc = np.zeros((P, 8), np.uint32)
+        desc[sl] = arena.pt_desc[pid_set]
+        normal = np.zeros((P, 3), np.float32)
+        normal[sl] = arena.pt_normal[pid_set]
+        mind = np.zeros(P, np.float32)
+        mind[sl] = arena.pt_min_dist[pid_set]
+        maxd = np.zeros(P, np.float32)
+        maxd[sl] = arena.pt_max_dist[pid_set]
+        mask = np.zeros(P, bool)
+        mask[sl] = True
+        self._block = track_ops.PointBlock(
+            pos=jnp.asarray(pos), desc=jnp.asarray(desc), normal=jnp.asarray(normal),
+            min_dist=jnp.asarray(mind), max_dist=jnp.asarray(maxd), mask=jnp.asarray(mask),
+        )
+        self._block_ids = ids
+
+    def _ids_to_slots(self, point_ids: np.ndarray) -> np.ndarray:
+        lookup = np.full(self.arena.num_pts + 1, -1, np.int32)
+        valid_slots = np.nonzero(self._block_ids >= 0)[0]
+        lookup[self._block_ids[valid_slots]] = valid_slots
+        out = np.full(len(point_ids), -1, np.int32)
+        has = point_ids >= 0
+        out[has] = lookup[point_ids[has]]
+        return out
+
+    def _block_pos_for_slots(self, slot: np.ndarray) -> np.ndarray:
+        pos = np.zeros((len(slot), 3), np.float32)
+        has = slot >= 0
+        pos[has] = np.asarray(self._block.pos)[slot[has]]
+        return pos
+
+    def _update_point_stats(self, pids: np.ndarray) -> None:
+        """MapPoint::UpdateNormalAndDepth + ComputeDistinctiveDescriptors
+        (map_point.cpp:249-304, :311-354), vectorized over all touched points.
+
+        The descriptor refresh is essential: as the camera approaches a landmark its
+        appearance scale changes, and only observations keep the representative
+        descriptor current — without this, long-lived points stop matching and the
+        tracker decays into drift (observed empirically)."""
+        arena = self.arena
+        if len(pids) == 0:
+            return
+        pids = np.unique(pids)
+        obs_kf = arena.pt_obs_kf[pids]
+        obs_ft = arena.pt_obs_feat[pids]
+        has = obs_kf >= 0
+        kf_s = np.maximum(obs_kf, 0)
+        ft_s = np.maximum(obs_ft, 0)
+        # --- normal: mean viewing direction over observations ---
+        R = arena.kf_pose[kf_s, :3, :3]
+        t = arena.kf_pose[kf_s, :3, 3]
+        kf_centers = -np.einsum("noji,noj->noi", R, t)
+        delta = arena.pt_pos[pids][:, None, :] - kf_centers
+        norm = np.linalg.norm(delta, axis=-1, keepdims=True)
+        dirs = np.where(has[..., None], delta / np.maximum(norm, 1e-9), 0.0)
+        mean_dir = dirs.sum(axis=1)
+        mean_norm = np.linalg.norm(mean_dir, axis=-1, keepdims=True)
+        arena.pt_normal[pids] = mean_dir / np.maximum(mean_norm, 1e-9)
+        # --- scale-invariance range from the NEWEST observation (adapts as the
+        # camera approaches; the reference anchors to the creating keyframe) ---
+        newest = np.argmax(np.where(has, obs_kf, -1), axis=1)
+        ar = np.arange(len(pids))
+        d_new = norm[ar, newest, 0]
+        oct_new = arena.kf_octave[kf_s[ar, newest], ft_s[ar, newest]].astype(np.float32)
+        sf = self.cfg.orb.scale_factor
+        max_dist = d_new * (sf ** oct_new)
+        arena.pt_max_dist[pids] = max_dist
+        arena.pt_min_dist[pids] = max_dist / (sf ** (self.cfg.orb.num_levels - 1))
+        # --- distinctive descriptor: min median Hamming among observations ---
+        # capped at the first 16 obs slots (stable anchors); sorted-median instead of
+        # nanmedian (the nanmedian path cost ~100 ms per keyframe)
+        Ocap = min(16, kf_s.shape[1])
+        kf_c, ft_c, has_c = kf_s[:, :Ocap], ft_s[:, :Ocap], has[:, :Ocap]
+        descs = arena.kf_desc[kf_c, ft_c]                      # (n, Oc, 8) uint32
+        x = descs[:, :, None, :] ^ descs[:, None, :, :]        # (n, Oc, Oc, 8)
+        ham = np.bitwise_count(x).sum(axis=-1).astype(np.float32)
+        pair_ok = has_c[:, :, None] & has_c[:, None, :]
+        ham = np.where(pair_ok, ham, np.inf)
+        srt = np.sort(ham, axis=2)
+        cnt = pair_ok.sum(axis=2)                              # (n, Oc)
+        mid = np.maximum(cnt - 1, 0) // 2
+        med = np.take_along_axis(srt, mid[:, :, None], axis=2)[:, :, 0]
+        med = np.where(has_c, med, np.inf)
+        best = np.argmin(med, axis=1)
+        arena.pt_desc[pids] = descs[ar, best]
+
+    # ------------------------------------------------------------------ export
+
+    def trajectory_poses(self) -> np.ndarray:
+        """Per-frame Tcw; lost frames repeat the previous pose (reference semantics:
+        SaveTrajectoryKITTI :264-314 propagates through lost frames)."""
+        out = []
+        prev = np.eye(4, dtype=np.float32)
+        for r in self.records:
+            if r.pose is not None:
+                prev = r.pose
+            out.append(prev.copy())
+        return np.stack(out)

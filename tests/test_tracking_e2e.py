@@ -1,0 +1,86 @@
+"""End-to-end stereo tracking on a synthetic sequence with exact ground truth.
+
+The minimum end-to-end slice of SURVEY.md §7 step 4: front-end -> stereo init ->
+motion-model tracking -> local-map tracking -> keyframe insertion, measured by ATE.
+The tracker syncs device->host in batches (sync_every), so records lag until flush().
+"""
+
+import numpy as np
+import pytest
+
+from slam_framework_tpu.config import CameraConfig, CapacityConfig, OrbConfig, SlamConfig
+from slam_framework_tpu.io import synthetic, trajectory
+from slam_framework_tpu.pipeline.tracker import StereoTracker, TrackingState
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return SlamConfig(
+        camera=CameraConfig(
+            fx=400.0, fy=400.0, cx=320.0, cy=120.0, width=640, height=240,
+            fps=10.0, bf=400.0 * 0.54,
+        ),
+        orb=OrbConfig(num_features=800, num_levels=4),
+        capacity=CapacityConfig(
+            max_keyframes=64, max_map_points=65536, max_features=1024,
+            local_window_points=8192,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def world(small_cfg):
+    return synthetic.make_world(
+        num_frames=30, cam=small_cfg.camera, seed=1, speed=0.8, yaw_rate=0.004,
+        num_landmarks=2500,
+    )
+
+
+def run_sequence(cfg, world, n=None):
+    tracker = StereoTracker(cfg)
+    n = n or world.num_frames
+    for f in range(n):
+        l, r = world.stereo_pair(f)
+        tracker.track(l, r, world.timestamps[f])
+    tracker.flush()
+    return tracker
+
+
+def test_synthetic_world_renders_texture(world):
+    img_l, img_r = world.stereo_pair(0)
+    assert img_l.shape == (240, 640)
+    assert img_l.std() > 20, "world too bland for ORB"
+    assert not np.array_equal(img_l, img_r)
+
+
+def test_stereo_tracking_follows_ground_truth(small_cfg, world):
+    tracker = run_sequence(small_cfg, world)
+    assert tracker.state == TrackingState.OK
+    assert len(tracker.records) == world.num_frames
+    assert not any(r.lost for r in tracker.records)
+
+    est = tracker.trajectory_poses()
+    ate = trajectory.ate_rmse(est, world.poses[: len(est)], align="se3")
+    # ~24 m of travel with local BA: ~2 cm achievable; 6 cm bound for headroom
+    assert ate < 0.06, f"ATE {ate:.3f} m"
+    assert tracker.arena.n_valid_kfs >= 2
+    assert tracker.arena.n_valid_pts > 500
+
+
+def test_tracking_metrics_recorded(small_cfg, world):
+    tracker = run_sequence(small_cfg, world, n=6)
+    assert len(tracker.metrics) >= 4
+    assert all(m["inliers"] >= 30 for m in tracker.metrics)
+
+
+def test_trajectory_export_roundtrip(tmp_path, small_cfg, world):
+    tracker = run_sequence(small_cfg, world, n=6)
+    path = str(tmp_path / "poses.txt")
+    est = tracker.trajectory_poses()
+    trajectory.save_kitti(path, est)
+    loaded = trajectory.load_kitti(path)
+    assert loaded.shape == (len(est), 4, 4)
+    for i in range(len(est)):
+        np.testing.assert_allclose(
+            loaded[i][:3, 3], np.linalg.inv(est[i])[:3, 3], atol=1e-5
+        )
