@@ -119,7 +119,10 @@ def track_motion(
     assoc = _invert_matches(res, last_pts.shape[0], cur.capacity)
 
     obs = _obs_from_assoc(cur, last_pts, assoc)
-    opt = pose_opt.optimize_pose(pred_pose, obs, K)
+    # 3 rounds x 4 LM iters: per-frame tracking starts near the optimum; the
+    # reference's 4x10 schedule (optimizer.cpp:359) is sized for cold starts and
+    # costs 80 sequential solves per frame on TPU.
+    opt = pose_opt.optimize_pose(pred_pose, obs, K, n_rounds=3, n_iters=4)
     return TrackResult(
         pose=opt.pose,
         assoc=assoc,
@@ -192,7 +195,7 @@ def track_local_map(
     assoc = jnp.where(already, prior_assoc, assoc)
 
     obs = _obs_from_assoc(cur, block.pos, assoc)
-    opt = pose_opt.optimize_pose(pose, obs, K)
+    opt = pose_opt.optimize_pose(pose, obs, K, n_rounds=3, n_iters=4)
     return TrackResult(
         pose=opt.pose,
         assoc=assoc,

@@ -1,0 +1,228 @@
+"""Monocular two-view initializer: batched homography/essential RANSAC + reconstruction.
+
+TPU-native replacement for Initializer (reference: src/util/initializer.{h,cpp}).
+The reference computes a homography and a fundamental matrix on two CPU threads over
+200 shared 8-point RANSAC sets (:57-89), scores both by symmetric transfer error,
+selects by RH = SH/(SH+SF) > 0.40 (:92-98), then decomposes (ReconstructH :568-736 /
+ReconstructF :459-566) with cheirality + parallax validation (CheckRT :804-922).
+
+Here ALL hypotheses for BOTH models are solved in one program:
+  - E-matrix (normalized 8-point; with calibrated K this is the reference's F path
+    expressed in normalized coordinates) via batched 9x9 eigh;
+  - H via batched DLT on the same sets;
+  - scoring with the reference's symmetric-transfer chi2 (5.991 / 3.841, sigma = 1 px);
+  - model selection with the same RH rule;
+  - E decomposed into 4 motions, validated by batched triangulation (cheirality both
+    views, reprojection, parallax), reproducing CheckRT's accept rules.
+Planar-dominant scenes (H selected) are reported for retry — matching the practical
+behavior of deferring initialization a few frames rather than the Faugeras 8-motion
+decomposition (TODO: ReconstructH parity).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_framework_tpu.geometry import triangulation
+from slam_framework_tpu.geometry.projection import Intrinsics
+from slam_framework_tpu.utils.precision import einsum as _einsum
+
+CHI2_H = 5.991   # initializer.cpp CheckHomography
+CHI2_F = 3.841   # CheckFundamental (1-dof transfer)
+SCORE_OFFSET = 5.991
+
+
+class InitResult(NamedTuple):
+    R: jnp.ndarray         # (3,3) rotation cam1 -> cam2 (Tcw of frame 2, frame 1 = I)
+    t: jnp.ndarray         # (3,) unit-norm translation
+    points: jnp.ndarray    # (N, 3) triangulated points in frame-1 camera coords
+    good: jnp.ndarray      # (N,) bool — triangulated + validated matches
+    n_good: jnp.ndarray    # () int32
+    is_planar: jnp.ndarray  # () bool — H model won (caller should retry)
+    ok: jnp.ndarray        # () bool
+
+
+def _normalize(uv, K: Intrinsics):
+    return jnp.stack([(uv[..., 0] - K.cx) / K.fx, (uv[..., 1] - K.cy) / K.fy], axis=-1)
+
+
+def _eight_point_E(x1, x2):
+    """Batched essential from (..., 8, 2) normalized correspondences."""
+    a = jnp.stack(
+        [
+            x2[..., 0] * x1[..., 0], x2[..., 0] * x1[..., 1], x2[..., 0],
+            x2[..., 1] * x1[..., 0], x2[..., 1] * x1[..., 1], x2[..., 1],
+            x1[..., 0], x1[..., 1], jnp.ones_like(x1[..., 0]),
+        ],
+        axis=-1,
+    )  # (..., 8, 9)
+    AtA = _einsum("...ki,...kj->...ij", a, a)
+    _, vecs = jnp.linalg.eigh(AtA)
+    E = vecs[..., :, 0].reshape(x1.shape[:-2] + (3, 3))
+    # project to essential manifold: singular values (1, 1, 0)
+    U, s, Vt = jnp.linalg.svd(E)
+    D = jnp.stack([jnp.ones_like(s[..., 0]), jnp.ones_like(s[..., 0]), jnp.zeros_like(s[..., 0])], -1)
+    return _einsum("...ij,...j,...jk->...ik", U, D, Vt)
+
+
+def _eight_point_E_weighted(x1, x2, w):
+    """Essential from ALL correspondences with per-row weights (N,)."""
+    a = jnp.stack(
+        [
+            x2[:, 0] * x1[:, 0], x2[:, 0] * x1[:, 1], x2[:, 0],
+            x2[:, 1] * x1[:, 0], x2[:, 1] * x1[:, 1], x2[:, 1],
+            x1[:, 0], x1[:, 1], jnp.ones_like(x1[:, 0]),
+        ],
+        axis=-1,
+    ) * w[:, None]
+    AtA = _einsum("ki,kj->ij", a, a)
+    _, vecs = jnp.linalg.eigh(AtA)
+    E = vecs[:, 0].reshape(3, 3)
+    U, s, Vt = jnp.linalg.svd(E)
+    return (U * jnp.asarray([1.0, 1.0, 0.0])[None, :]) @ Vt
+
+
+def _dlt_H(x1, x2):
+    """Batched homography from (..., S, 2) normalized correspondences (DLT)."""
+    S = x1.shape[-2]
+    ones = jnp.ones(x1.shape[:-1] + (1,), x1.dtype)
+    xh = jnp.concatenate([x1, ones], axis=-1)  # (..., S, 3)
+    zeros = jnp.zeros_like(xh)
+    u2 = x2[..., 0:1]
+    v2 = x2[..., 1:2]
+    rows_u = jnp.concatenate([xh, zeros, -u2 * xh], axis=-1)
+    rows_v = jnp.concatenate([zeros, xh, -v2 * xh], axis=-1)
+    A = jnp.concatenate([rows_u, rows_v], axis=-2)  # (..., 2S, 9)
+    AtA = _einsum("...ki,...kj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    return vecs[..., :, 0].reshape(x1.shape[:-2] + (3, 3))
+
+
+def _sampson_chi2(E, x1, x2, K: Intrinsics):
+    """Per-match squared epipolar error (pixels^2-ish) for each hypothesis.
+
+    E: (H, 3, 3); x1/x2: (N, 2) normalized. Scales to pixel units with fx."""
+    ones = jnp.ones((x1.shape[0], 1), x1.dtype)
+    p1 = jnp.concatenate([x1, ones], -1)  # (N,3)
+    p2 = jnp.concatenate([x2, ones], -1)
+    Ep1 = _einsum("hij,nj->hni", E, p1)
+    Etp2 = _einsum("hji,nj->hni", E, p2)
+    x2tEp1 = jnp.sum(p2[None] * Ep1, axis=-1)
+    denom = Ep1[..., 0] ** 2 + Ep1[..., 1] ** 2 + Etp2[..., 0] ** 2 + Etp2[..., 1] ** 2
+    sampson = (x2tEp1**2) / jnp.maximum(denom, 1e-12)
+    return sampson * (K.fx**2)  # to pixel^2
+
+
+def _transfer_chi2_H(Hm, x1, x2, K: Intrinsics):
+    """Symmetric transfer error for homographies, pixel^2."""
+    ones = jnp.ones((x1.shape[0], 1), x1.dtype)
+    p1 = jnp.concatenate([x1, ones], -1)
+    p2 = jnp.concatenate([x2, ones], -1)
+
+    def xfer(Hm, pa, pb):
+        q = _einsum("hij,nj->hni", Hm, pa)
+        qz = jnp.where(jnp.abs(q[..., 2]) < 1e-9, 1e-9, q[..., 2])
+        return ((q[..., 0] / qz - pb[None, :, 0]) ** 2 + (q[..., 1] / qz - pb[None, :, 1]) ** 2)
+
+    Hinv = jnp.linalg.inv(Hm + 1e-12 * jnp.eye(3))
+    return (xfer(Hm, p1, p2) + xfer(Hinv, p2, p1)) * (K.fx**2) * 0.5
+
+
+def initialize_two_view(
+    uv1: jnp.ndarray,     # (N, 2) pixels in frame 1
+    uv2: jnp.ndarray,     # (N, 2) matched pixels in frame 2
+    mask: jnp.ndarray,    # (N,) valid matches
+    K: Intrinsics,
+    key: jax.Array,
+    n_hypotheses: int = 200,   # initializer.cpp:60 (200 RANSAC sets)
+    sigma: float = 1.0,
+    min_good: int = 100,       # tracker.cpp:410-415 area
+    min_parallax_deg: float = 1.0,
+) -> InitResult:
+    N = uv1.shape[0]
+    x1 = _normalize(uv1, K)
+    x2 = _normalize(uv2, K)
+    probs = mask.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    idx = jax.random.choice(key, N, shape=(n_hypotheses, 8), replace=True, p=probs)
+
+    # --- essential path ---
+    E = _eight_point_E(x1[idx], x2[idx])
+    chi2_e = _sampson_chi2(E, x1, x2, K) / (sigma**2)
+    inl_e = (chi2_e < CHI2_F) & mask[None]
+    # reference scoring: sum of (offset - chi2) over inliers (CheckFundamental)
+    score_e = jnp.sum(jnp.where(inl_e, SCORE_OFFSET - chi2_e, 0.0), axis=1)
+    best_e = jnp.argmax(score_e)
+    # refit on the best hypothesis's inliers (all-point weighted 8-point): the
+    # minimal-set E is noise-limited; the refit sharpens the epipole (t direction)
+    w_in = inl_e[best_e].astype(jnp.float32)
+    E_refit = _eight_point_E_weighted(x1, x2, w_in)
+    chi2_r = _sampson_chi2(E_refit[None], x1, x2, K)[0] / (sigma**2)
+    E = E.at[best_e].set(E_refit)
+    chi2_e = chi2_e.at[best_e].set(chi2_r)
+
+    # --- homography path (same sets) ---
+    Hm = _dlt_H(x1[idx], x2[idx])
+    chi2_h = _transfer_chi2_H(Hm, x1, x2, K) / (sigma**2)
+    inl_h = (chi2_h < CHI2_H) & mask[None]
+    score_h = jnp.sum(jnp.where(inl_h, CHI2_H - chi2_h, 0.0), axis=1)
+
+    SH = jnp.max(score_h)
+    SF = jnp.max(score_e)
+    RH = SH / jnp.maximum(SH + SF, 1e-9)
+    is_planar = RH > 0.40  # initializer.cpp:95
+
+    # --- decompose best E into 4 motions; validate by triangulation ---
+    Eb = E[best_e]
+    U, _, Vt = jnp.linalg.svd(Eb)
+    # enforce proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    Wm = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = U @ Wm @ Vt
+    R2 = U @ Wm.T @ Vt
+    tu = U[:, 2]
+    tu = tu / jnp.maximum(jnp.linalg.norm(tu), 1e-12)
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([tu, -tu, tu, -tu])
+
+    # triangulate all matches under each motion (frame1 = identity)
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)[None]
+    P2 = jnp.concatenate([Rs, ts[..., None]], axis=-1)  # (4, 3, 4)
+    pts = triangulation.triangulate_dlt(
+        jnp.broadcast_to(P1, (4, 3, 4)), P2, jnp.broadcast_to(x1[None], (4, N, 2)), jnp.broadcast_to(x2[None], (4, N, 2))
+    )  # (4, N, 3) in frame-1 coords (normalized projection matrices)
+    z1 = pts[..., 2]
+    Xc2 = _einsum("mij,mnj->mni", Rs, pts) + ts[:, None, :]
+    z2 = Xc2[..., 2]
+    # reprojection errors (pixel)
+    e1 = jnp.sum((pts[..., :2] / jnp.where(jnp.abs(z1[..., None]) < 1e-9, 1e-9, z1[..., None]) - x1[None]) ** 2, -1) * K.fx**2
+    e2 = jnp.sum((Xc2[..., :2] / jnp.where(jnp.abs(z2[..., None]) < 1e-9, 1e-9, z2[..., None]) - x2[None]) ** 2, -1) * K.fx**2
+    cosp = triangulation.parallax_cosine(
+        jnp.zeros((4, 3)), -_einsum("mji,mj->mi", Rs, ts), pts
+    )
+    good = (
+        (z1 > 0) & (z2 > 0)
+        & (e1 < 4.0 * sigma**2) & (e2 < 4.0 * sigma**2)
+        & (cosp < jnp.cos(jnp.deg2rad(min_parallax_deg) * 0.5))
+        & mask[None]
+    )
+    ngood = jnp.sum(good.astype(jnp.int32), axis=1)
+    best_m = jnp.argmax(ngood)
+    n_best = ngood[best_m]
+    # reference: clear winner + enough points (initializer.cpp:528-560)
+    sorted_counts = jnp.sort(ngood)
+    second = sorted_counts[-2]
+    ok = (~is_planar) & (n_best >= min_good) & (second.astype(jnp.float32) < 0.75 * n_best.astype(jnp.float32))
+    return InitResult(
+        R=Rs[best_m],
+        t=ts[best_m],
+        points=pts[best_m],
+        good=good[best_m],
+        n_good=n_best,
+        is_planar=is_planar,
+        ok=ok,
+    )

@@ -1,0 +1,165 @@
+"""Batched PnP RANSAC for relocalization.
+
+TPU-native replacement for PnPsolver (reference: src/solvers/pnp_solver.{h,cpp}):
+the reference runs EPnP on random 4-point sets inside sequential adaptive RANSAC
+(:118-211). RANSAC is embarrassingly parallel, so here ALL hypotheses are solved at
+once: each hypothesis takes a random 6-point subset, solves the 11-dof DLT camera
+resection (smallest eigenvector of the 12x12 normal matrix — batched eigh), projects
+ALL correspondences, and scores chi2 inliers per pyramid level like the reference
+(:261-293). The best hypothesis is then refined on its inliers by the caller via
+optim.pose_opt (the reference likewise refines with PoseOptimization,
+tracker.cpp:886-983).
+
+The linear resection needs 6 points instead of EPnP's 4; with hundreds of parallel
+hypotheses the success statistics match or beat the reference's 300 sequential
+iterations at a fraction of the latency.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_framework_tpu.geometry.projection import Intrinsics
+from slam_framework_tpu.utils.precision import einsum as _einsum
+
+MIN_SET = 6
+
+
+class PnPResult(NamedTuple):
+    pose: jnp.ndarray       # (4, 4) best Tcw
+    inliers: jnp.ndarray    # (N,) bool for the best hypothesis
+    n_inliers: jnp.ndarray  # () int32
+    ok: jnp.ndarray         # () bool — enough inliers found
+
+
+def _dlt_resection(pts_w: jnp.ndarray, uv_norm: jnp.ndarray):
+    """Batched DLT: (..., S, 3) world pts + (..., S, 2) normalized image coords ->
+    R (..., 3, 3), t (..., 3) with Hartley-normalized conditioning, cheirality sign
+    fix and SVD orthonormalization."""
+    # Hartley normalization of the 3D points (fp32 eigh needs the conditioning)
+    mean = jnp.mean(pts_w, axis=-2, keepdims=True)
+    spread = jnp.mean(jnp.linalg.norm(pts_w - mean, axis=-1), axis=-1)
+    s_n = jnp.maximum(spread, 1e-6)[..., None, None]
+    Xn = (pts_w - mean) / s_n
+
+    ones = jnp.ones(Xn.shape[:-1] + (1,), Xn.dtype)
+    Xh = jnp.concatenate([Xn, ones], axis=-1)  # (..., S, 4)
+    zeros = jnp.zeros_like(Xh)
+    u = uv_norm[..., 0:1]
+    v = uv_norm[..., 1:2]
+    row_u = jnp.concatenate([Xh, zeros, -u * Xh], axis=-1)  # (..., S, 12)
+    row_v = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1)
+    A = jnp.concatenate([row_u, row_v], axis=-2)  # (..., 2S, 12)
+    AtA = _einsum("...ki,...kj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[..., :, 0]  # (..., 12) smallest eigenvector
+    Pn = p.reshape(p.shape[:-1] + (3, 4))
+    # undo normalization: P = Pn @ T_norm, T_norm = [[I/s, -mean/s], [0, 1]]
+    Rp = Pn[..., :3] / s_n
+    tp = Pn[..., 3] - _einsum("...ij,...j->...i", Rp, mean[..., 0, :])
+    # cheirality: majority of minimal-set points must have positive depth
+    z = _einsum("...ij,...sj->...si", Rp, pts_w)[..., 2] + tp[..., None, 2]
+    flip = jnp.median(z, axis=-1) < 0
+    sgn = jnp.where(flip, -1.0, 1.0)[..., None, None]
+    Rp = Rp * sgn
+    tp = tp * sgn[..., 0]
+    # orthonormalize rotation; recover DLT scale from singular values
+    U, s, Vt = jnp.linalg.svd(Rp)
+    det = jnp.linalg.det(_einsum("...ij,...jk->...ik", U, Vt))
+    D = jnp.concatenate([jnp.ones(det.shape + (2,)), det[..., None]], axis=-1)
+    R_ortho = _einsum("...ij,...j,...jk->...ik", U, D, Vt)
+    scale = jnp.mean(s, axis=-1)
+    t_fixed = tp / jnp.maximum(scale, 1e-12)[..., None]
+    return R_ortho, t_fixed
+
+
+def solve_pnp_ransac(
+    pts_w: jnp.ndarray,        # (N, 3) world points
+    uv: jnp.ndarray,           # (N, 2) pixel observations
+    inv_sigma2: jnp.ndarray,   # (N,) per-obs information (octave)
+    mask: jnp.ndarray,         # (N,) valid correspondences
+    K: Intrinsics,
+    key: jax.Array,
+    n_hypotheses: int = 256,
+    chi2_thresh: float = 5.991,   # tracker.cpp:874
+    min_inliers: int = 10,        # tracker.cpp:871
+) -> PnPResult:
+    """All-hypotheses-at-once PnP RANSAC. Returns the best hypothesis."""
+    N = pts_w.shape[0]
+    # random minimal sets, biased to valid entries by probability weighting
+    probs = mask.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    idx = jax.random.choice(
+        key, N, shape=(n_hypotheses, MIN_SET), replace=True, p=probs
+    )
+    sel_w = pts_w[idx]                 # (H, S, 3)
+    sel_uv = uv[idx]                   # (H, S, 2)
+    uvn = jnp.stack(
+        [(sel_uv[..., 0] - K.cx) / K.fx, (sel_uv[..., 1] - K.cy) / K.fy], axis=-1
+    )
+    R, t = _dlt_resection(sel_w, uvn)  # (H, 3, 3), (H, 3)
+
+    def score(R, t, thresh):
+        Xc = _einsum("...ij,nj->...ni", R, pts_w) + t[..., None, :]
+        z = Xc[..., 2]
+        z_safe = jnp.where(z > 1e-6, z, 1e-6)
+        up = K.fx * Xc[..., 0] / z_safe + K.cx
+        vp = K.fy * Xc[..., 1] / z_safe + K.cy
+        err2 = ((up - uv[..., :, 0]) ** 2 + (vp - uv[..., :, 1]) ** 2) * inv_sigma2
+        inl = (err2 < thresh) & (z > 0.05) & mask
+        return inl, jnp.sum(inl.astype(jnp.int32), axis=-1)
+
+    # Stage 1: loose consensus. Minimal-set DLT is noise-amplifying (~1 m at 0.5 px
+    # noise), so strict gating would find no consensus; the loose gate only needs to
+    # separate the right basin from garbage hypotheses.
+    loose = 15.0**2
+    inl_l, counts_l = score(R, t, loose)
+    best = jnp.argmax(counts_l)
+    Rb, tb = R[best], t[best]
+    inl_b = inl_l[best]
+
+    # Stage 2: refine with masked all-point DLT on the loose inliers, shrinking gate.
+    uvn_all = jnp.stack([(uv[:, 0] - K.cx) / K.fx, (uv[:, 1] - K.cy) / K.fy], axis=-1)
+    for thresh in (8.0**2, 4.0**2):
+        w = inl_b.astype(jnp.float32)[:, None]
+        Rb, tb = _dlt_resection_weighted(pts_w, uvn_all, w)
+        inl_b, _ = score(Rb, tb, thresh)
+
+    inl, n = score(Rb, tb, chi2_thresh)
+    pose = jnp.eye(4).at[:3, :3].set(Rb).at[:3, 3].set(tb)
+    return PnPResult(pose=pose, inliers=inl, n_inliers=n, ok=n >= min_inliers)
+
+
+def _dlt_resection_weighted(pts_w: jnp.ndarray, uv_norm: jnp.ndarray, w: jnp.ndarray):
+    """Single DLT resection over ALL correspondences with per-row weights (N, 1)."""
+    mean = jnp.sum(pts_w * w, axis=0) / jnp.maximum(jnp.sum(w), 1e-6)
+    spread = jnp.sum(jnp.linalg.norm(pts_w - mean, axis=-1) * w[:, 0]) / jnp.maximum(jnp.sum(w), 1e-6)
+    s_n = jnp.maximum(spread, 1e-6)
+    Xn = (pts_w - mean) / s_n
+    ones = jnp.ones((Xn.shape[0], 1), Xn.dtype)
+    Xh = jnp.concatenate([Xn, ones], axis=-1)
+    zeros = jnp.zeros_like(Xh)
+    u = uv_norm[:, 0:1]
+    v = uv_norm[:, 1:2]
+    row_u = jnp.concatenate([Xh, zeros, -u * Xh], axis=-1) * w
+    row_v = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1) * w
+    A = jnp.concatenate([row_u, row_v], axis=0)
+    AtA = _einsum("ki,kj->ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    Pn = vecs[:, 0].reshape(3, 4)
+    Rp = Pn[:, :3] / s_n
+    tp = Pn[:, 3] - Rp @ mean
+    z = (pts_w @ Rp.T)[:, 2] + tp[2]
+    flip = jnp.sum(jnp.where(w[:, 0] > 0, jnp.sign(z), 0.0)) < 0
+    sgn = jnp.where(flip, -1.0, 1.0)
+    Rp = Rp * sgn
+    tp = tp * sgn
+    U, s, Vt = jnp.linalg.svd(Rp)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.asarray([1.0, 1.0, 0.0]) + jnp.asarray([0.0, 0.0, 1.0]) * det
+    R_ortho = (U * D[None, :]) @ Vt
+    tp = tp / jnp.maximum(jnp.mean(s), 1e-12)
+    return R_ortho, tp

@@ -1,0 +1,135 @@
+"""Tests for batched RANSAC solvers: PnP, Horn Sim3, mono two-view initializer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_framework_tpu.geometry import se3
+from slam_framework_tpu.geometry.projection import Intrinsics
+from slam_framework_tpu.solvers import initializer, pnp, sim3solver
+
+K = Intrinsics(fx=718.856, fy=718.856, cx=607.19, cy=185.22, bf=386.1448)
+
+
+def make_pnp_problem(rng, n=60, outlier_frac=0.3, noise=0.5):
+    pts = np.stack([rng.uniform(-10, 10, n), rng.uniform(-4, 4, n), rng.uniform(5, 40, n)], -1).astype(np.float32)
+    xi = rng.normal(size=6).astype(np.float32) * 0.2
+    T = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+    Xc = (T[:3, :3] @ pts.T).T + T[:3, 3]
+    u = K.fx * Xc[:, 0] / Xc[:, 2] + K.cx + rng.normal(0, noise, n)
+    v = K.fy * Xc[:, 1] / Xc[:, 2] + K.cy + rng.normal(0, noise, n)
+    n_out = int(n * outlier_frac)
+    out = rng.choice(n, n_out, replace=False)
+    u[out] += rng.uniform(30, 200, n_out) * rng.choice([-1, 1], n_out)
+    uv = np.stack([u, v], -1).astype(np.float32)
+    return jnp.asarray(pts), jnp.asarray(uv), T, out
+
+
+def test_pnp_ransac_recovers_pose(rng):
+    pts, uv, T_true, out = make_pnp_problem(rng)
+    res = pnp.solve_pnp_ransac(
+        pts, uv, jnp.ones(pts.shape[0]), jnp.ones(pts.shape[0], bool), K,
+        jax.random.PRNGKey(0),
+    )
+    assert bool(res.ok)
+    d = np.asarray(res.pose) @ np.linalg.inv(T_true)
+    assert np.linalg.norm(d[:3, 3]) < 0.35, d[:3, 3]
+    inl = np.asarray(res.inliers)
+    assert not inl[out].any() or inl[out].mean() < 0.15  # gross outliers rejected
+
+
+def test_pnp_ransac_fails_gracefully_on_garbage(rng):
+    pts = jnp.asarray(rng.uniform(-10, 10, (40, 3)), dtype=jnp.float32)
+    uv = jnp.asarray(rng.uniform(0, 1000, (40, 2)), dtype=jnp.float32)
+    res = pnp.solve_pnp_ransac(
+        pts, uv, jnp.ones(40), jnp.ones(40, bool), K, jax.random.PRNGKey(1)
+    )
+    assert int(res.n_inliers) < 40  # no magic consensus on random data
+
+
+def test_horn_alignment_exact(rng):
+    p2 = jnp.asarray(rng.uniform(-5, 5, (10, 3)), dtype=jnp.float32)
+    R_true = np.asarray(se3.so3_exp(jnp.asarray([0.2, -0.1, 0.3])))
+    s_true, t_true = 1.7, np.array([1.0, -2.0, 0.5], np.float32)
+    p1 = jnp.asarray((s_true * (R_true @ np.asarray(p2).T)).T + t_true)
+    R, t, s = sim3solver.horn_alignment(p1, p2, fix_scale=False)
+    np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-4)
+    np.testing.assert_allclose(float(s), s_true, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-3)
+
+
+def test_sim3_ransac_with_outliers(rng):
+    n = 50
+    pts2 = np.stack([rng.uniform(-8, 8, n), rng.uniform(-3, 3, n), rng.uniform(5, 30, n)], -1).astype(np.float32)
+    R_true = np.asarray(se3.so3_exp(jnp.asarray([0.05, 0.3, -0.02])))
+    t_true = np.array([2.0, 0.3, -1.0], np.float32)
+    pts1 = (R_true @ pts2.T).T + t_true  # fix_scale: s=1
+    # corrupt 30%
+    out = rng.choice(n, 15, replace=False)
+    pts1_n = pts1.copy()
+    pts1_n[out] += rng.uniform(2, 6, (15, 3))
+
+    def proj(P):
+        return np.stack([K.fx * P[:, 0] / P[:, 2] + K.cx, K.fy * P[:, 1] / P[:, 2] + K.cy], -1)
+
+    uv1 = proj(pts1)  # measurements consistent with TRUE alignment
+    uv2 = proj(pts2)
+    res = sim3solver.solve_sim3_ransac(
+        jnp.asarray(pts1_n), jnp.asarray(pts2), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(n), jnp.ones(n), jnp.ones(n, bool), K, jax.random.PRNGKey(2),
+        fix_scale=True,
+    )
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.R), R_true, atol=0.02)
+    np.testing.assert_allclose(np.asarray(res.t), t_true, atol=0.25)
+
+
+def test_mono_initializer_recovers_motion(rng):
+    n = 300
+    pts = np.stack([rng.uniform(-15, 15, n), rng.uniform(-5, 5, n), rng.uniform(8, 50, n)], -1).astype(np.float32)
+    R_true = np.asarray(se3.so3_exp(jnp.asarray([0.01, 0.05, -0.005])))
+    t_true = np.array([0.6, 0.05, 0.4], np.float32)  # baseline with forward component
+
+    def proj(P):
+        return np.stack([K.fx * P[:, 0] / P[:, 2] + K.cx, K.fy * P[:, 1] / P[:, 2] + K.cy], -1)
+
+    uv1 = proj(pts) + rng.normal(0, 0.4, (n, 2))
+    Xc2 = (R_true @ pts.T).T + t_true
+    uv2 = proj(Xc2) + rng.normal(0, 0.4, (n, 2))
+    res = initializer.initialize_two_view(
+        jnp.asarray(uv1, dtype=jnp.float32), jnp.asarray(uv2, dtype=jnp.float32),
+        jnp.ones(n, bool), K, jax.random.PRNGKey(3),
+    )
+    assert bool(res.ok), (int(res.n_good), bool(res.is_planar))
+    # rotation near-exact; translation direction within a few degrees. (The solver's
+    # contract matches the reference: the two-view geometry seeds the initial map,
+    # which is immediately refined by a 20-iteration global BA —
+    # Tracker::CreateInitialMapMonocular, tracker.cpp:414.)
+    np.testing.assert_allclose(np.asarray(res.R), R_true, atol=1e-2)
+    t_est = np.asarray(res.t)
+    t_dir = t_true / np.linalg.norm(t_true)
+    assert abs(np.dot(t_est, t_dir)) > 0.95
+    good = np.asarray(res.good)
+    assert good.sum() > 100
+    scale = np.median(np.asarray(res.points)[good][:, 2] / pts[good][:, 2])
+    err = np.linalg.norm(np.asarray(res.points)[good] / scale - pts[good], axis=1)
+    assert np.median(err) < 3.0  # pre-BA mono accuracy
+
+
+def test_mono_initializer_rejects_pure_rotation(rng):
+    """No parallax -> should not return ok (degenerate for triangulation)."""
+    n = 200
+    pts = np.stack([rng.uniform(-15, 15, n), rng.uniform(-5, 5, n), rng.uniform(8, 50, n)], -1).astype(np.float32)
+    R_true = np.asarray(se3.so3_exp(jnp.asarray([0.0, 0.08, 0.0])))
+
+    def proj(P):
+        return np.stack([K.fx * P[:, 0] / P[:, 2] + K.cx, K.fy * P[:, 1] / P[:, 2] + K.cy], -1)
+
+    uv1 = proj(pts) + rng.normal(0, 0.3, (n, 2))
+    Xc2 = (R_true @ pts.T).T
+    uv2 = proj(Xc2) + rng.normal(0, 0.3, (n, 2))
+    res = initializer.initialize_two_view(
+        jnp.asarray(uv1, dtype=jnp.float32), jnp.asarray(uv2, dtype=jnp.float32),
+        jnp.ones(n, bool), K, jax.random.PRNGKey(4),
+    )
+    assert not bool(res.ok)
