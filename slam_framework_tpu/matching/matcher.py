@@ -78,17 +78,19 @@ def resolve_duplicate_columns(res: MatchResult, num_cols: int) -> MatchResult:
     (e.g. orb_matcher.cpp SearchByProjection duplicate handling); this is the
     batched equivalent: a column matched by several rows keeps the best row.
     """
-    # For each column, the min distance among rows that chose it.
-    col_min = jnp.full((num_cols,), BIG, jnp.int32)
+    # Dense formulation (TPU scatters serialize on colliding indices): build the
+    # (rows, cols) assignment mask and reduce per column.
+    rows_n = res.idx.shape[0]
+    cols = jnp.arange(num_cols, dtype=jnp.int32)
+    chose = res.valid[:, None] & (res.idx[:, None] == cols[None, :])  # (R, C)
+    d = jnp.where(chose, res.dist[:, None], BIG)
+    col_min = jnp.min(d, axis=0)                      # (C,)
+    col_row = jnp.argmin(d, axis=0).astype(jnp.int32)  # lowest row wins ties
     safe_j = jnp.where(res.valid, res.idx, 0)
-    col_min = col_min.at[safe_j].min(jnp.where(res.valid, res.dist, BIG))
-    # A row survives if it attains the column min. Ties: keep lowest row index.
-    attains = res.valid & (res.dist == col_min[safe_j])
-    rows = jnp.arange(res.idx.shape[0], dtype=jnp.int32)
-    col_min_row = jnp.full((num_cols,), res.idx.shape[0], jnp.int32)
-    col_min_row = col_min_row.at[safe_j].min(jnp.where(attains, rows, res.idx.shape[0]))
-    valid = attains & (col_min_row[safe_j] == rows)
-    return MatchResult(idx=jnp.where(valid, res.idx, -1), dist=res.dist, valid=valid)
+    winner = res.valid & (col_row[safe_j] == jnp.arange(rows_n, dtype=jnp.int32)) & (
+        col_min[safe_j] < BIG
+    )
+    return MatchResult(idx=jnp.where(winner, res.idx, -1), dist=res.dist, valid=winner)
 
 
 def rotation_consistency(
@@ -109,7 +111,9 @@ def rotation_consistency(
     two_pi = 2.0 * jnp.pi
     delta = jnp.mod(delta, two_pi)
     bins = jnp.clip((delta * (HISTO_LENGTH / two_pi)).astype(jnp.int32), 0, HISTO_LENGTH - 1)
-    hist = jnp.zeros(HISTO_LENGTH, jnp.int32).at[bins].add(res.valid.astype(jnp.int32))
+    # one-hot reduction instead of scatter-add (TPU scatters serialize on collisions)
+    onehot = (bins[:, None] == jnp.arange(HISTO_LENGTH, dtype=jnp.int32)[None, :])
+    hist = jnp.sum(onehot & res.valid[:, None], axis=0, dtype=jnp.int32)
     top3_vals, top3_idx = jax.lax.top_k(hist, 3)
     # Reference guards: drop 2nd/3rd bins if < 0.1 * max.
     keep_bin2 = top3_vals[1].astype(jnp.float32) >= 0.1 * top3_vals[0].astype(jnp.float32)

@@ -258,13 +258,14 @@ def fuse_candidates(
 
 
 def _invert_matches(res: matcher.MatchResult, n_rows: int, n_cols: int) -> jnp.ndarray:
-    """Row->col matches to per-column row index (-1 none). After
-    resolve_duplicate_columns each column has at most one row, so the scatter is
-    conflict-free; invalid rows scatter out of range and are dropped."""
-    assoc = jnp.full((n_cols,), -1, jnp.int32)
-    rows = jnp.arange(n_rows, dtype=jnp.int32)
-    col = jnp.where(res.valid, res.idx, n_cols)  # out-of-range => dropped
-    return assoc.at[col].set(rows, mode="drop")
+    """Row->col matches to per-column best row index (-1 none), dense formulation
+    (argmin over a (R, C) masked distance matrix — TPU scatters serialize)."""
+    cols = jnp.arange(n_cols, dtype=jnp.int32)
+    chose = res.valid[:, None] & (res.idx[:, None] == cols[None, :])
+    d = jnp.where(chose, res.dist[:, None], matcher.BIG)
+    best_row = jnp.argmin(d, axis=0).astype(jnp.int32)
+    has = jnp.min(d, axis=0) < matcher.BIG
+    return jnp.where(has, best_row, -1)
 
 
 def _project(Tcw: jnp.ndarray, pts: jnp.ndarray, K: Intrinsics):
