@@ -64,21 +64,35 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """SO3 logarithm: (..., 3, 3) -> (..., 3) axis-angle. Safe near 0 and pi."""
+    """SO3 logarithm: (..., 3, 3) -> (..., 3) axis-angle. Safe near 0 and pi.
+
+    Written for differentiability (pose-graph Jacobians run jacfwd through this):
+    every branch is finite for ALL inputs — jnp.where does not block NaN/inf
+    gradients from the untaken branch, so arccos/sqrt are fed clamped arguments
+    via the double-where pattern.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # Generic: vee((R - R^T)/2) * theta/sin(theta)
-    w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
-    sin_theta = jnp.sin(theta)
+    w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = axis * sin(theta)
+    sin2 = jnp.sum(w_skew * w_skew, axis=-1)
+    near_one = cos_theta > 1.0 - 1e-6   # theta < ~1.4e-3: series in sin^2
     near_pi = cos_theta < -1.0 + 1e-5
-    small = theta < 1e-5
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.where(jnp.abs(sin_theta) < _EPS, 1.0, sin_theta))
+    mid = jnp.logical_not(near_one | near_pi)
+    # --- mid branch: theta = atan2(sin, cos), scale = theta / sin ---
+    sin_theta = jnp.sqrt(jnp.where(mid, jnp.maximum(sin2, 1e-12), 1.0))
+    theta_mid = jnp.arctan2(sin_theta, jnp.where(mid, cos_theta, 0.0))
+    scale_mid = theta_mid / sin_theta
+    # --- near-identity branch: sin ~= theta, scale ~= 1 + theta^2/6 ---
+    scale_small = 1.0 + sin2 / 6.0
+    scale = jnp.where(near_one, scale_small, scale_mid)
     w_generic = w_skew * scale[..., None]
+    # theta for the near-pi axis reconstruction (arccos fed a clamped argument)
+    theta = jnp.arccos(jnp.clip(jnp.where(near_pi, cos_theta, 0.0), -1.0 + 1e-7, 1.0))
     # Near pi: axis from diagonal of (R + I)/2 = aa^T scaled
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis2 = jnp.maximum((diag + 1.0) * 0.5, 0.0)
-    axis = jnp.sqrt(axis2)
+    axis = jnp.sqrt(jnp.where(near_pi[..., None], jnp.maximum(axis2, 1e-12), 1.0))
+    axis = jnp.where(near_pi[..., None], axis, 0.0)
     # Fix signs using off-diagonal sums (R + R^T has entries 2*a_i*a_j*(1-cos))
     s12 = R[..., 0, 1] + R[..., 1, 0]
     s13 = R[..., 0, 2] + R[..., 2, 0]

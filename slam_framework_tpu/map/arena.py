@@ -207,6 +207,35 @@ class MapArena:
         self.kf_point_idx[kf, feat] = pid
         self._add_observation(pid, kf, feat)
 
+    def merge_points(self, keep: int, kill: int) -> None:
+        """MapPoint::Replace (map_point.cpp:190-226): fold `kill` into `keep`.
+
+        Every observation of `kill` is re-bound to `keep` unless that keyframe
+        already observes `keep` (then the duplicate feature is detached);
+        visible/found counters accumulate."""
+        if keep == kill or not self.pt_valid[kill]:
+            return
+        keep_kfs = set(
+            int(k) for k in self.pt_obs_kf[keep, : int(self.pt_obs_count[keep])]
+        )
+        for s in range(int(self.pt_obs_count[kill])):
+            kf, f = int(self.pt_obs_kf[kill, s]), int(self.pt_obs_feat[kill, s])
+            if kf < 0:
+                continue
+            if kf in keep_kfs:
+                if self.kf_point_idx[kf, f] == kill:
+                    self.kf_point_idx[kf, f] = -1
+            else:
+                self.kf_point_idx[kf, f] = keep
+                self._add_observation(keep, kf, f)
+                keep_kfs.add(kf)
+        self.pt_n_visible[keep] += self.pt_n_visible[kill]
+        self.pt_n_found[keep] += self.pt_n_found[kill]
+        self.pt_obs_kf[kill] = -1
+        self.pt_obs_feat[kill] = -1
+        self.pt_obs_count[kill] = 0
+        self.pt_valid[kill] = False
+
     # ------------------------------------------------------------------ derived
 
     def covisibility_counts(self, kf: int) -> np.ndarray:

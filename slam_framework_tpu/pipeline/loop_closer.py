@@ -1,0 +1,615 @@
+"""Loop-closing stage: BoW detection → Sim3 verification → correction + pose graph.
+
+TPU-native replacement for the LoopCloser thread (reference: src/core/loop_closer.{h,cpp}):
+DetectLoop with covisibility-consistency voting (:194-297), ComputeSim3 (:299-469),
+CorrectLoop — Sim3 propagation to the covisible group, fuse, essential-graph
+optimization (:501-695) — and the follow-up global BA hook (:73-172).
+
+Architecture: the stage is host-sequenced (it runs per keyframe, ~1 Hz) but every
+heavy step is one batched device program — descriptor matching on the MXU
+(matching.hamming), batched-hypothesis Horn Sim3 RANSAC (solvers.sim3solver),
+guided Sim3 projection-matching, and the Sim3 pose graph (optim.pose_graph) with
+matrix-free CG. The reference's thread/queue/mutex protocol disappears: sequencing
+is explicit, and the transient global-BA thread becomes an explicit call the caller
+can schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_framework_tpu.bow import vocabulary as bow_vocab
+from slam_framework_tpu.bow.database import BowFrame, KeyframeDatabase
+from slam_framework_tpu.config import SlamConfig
+from slam_framework_tpu.geometry.projection import Intrinsics
+from slam_framework_tpu.map.arena import MapArena
+from slam_framework_tpu.matching import hamming, matcher
+from slam_framework_tpu.optim import pose_graph
+from slam_framework_tpu.solvers import sim3solver
+
+
+# ----------------------------------------------------------------- host Sim3 helpers
+# Tiny numpy Sim3 ops for the host-side correction bookkeeping (the device-side
+# counterparts live in geometry/sim3.py; these avoid a device round-trip per op).
+
+def np_sim3(R: np.ndarray, t: np.ndarray, s: float):
+    return {"R": np.asarray(R, np.float64), "t": np.asarray(t, np.float64), "s": float(s)}
+
+
+def np_sim3_from_se3(T: np.ndarray):
+    return np_sim3(T[:3, :3], T[:3, 3], 1.0)
+
+
+def np_sim3_compose(A, B):
+    return np_sim3(A["R"] @ B["R"], A["s"] * (A["R"] @ B["t"]) + A["t"], A["s"] * B["s"])
+
+
+def np_sim3_inverse(S):
+    Rt = S["R"].T
+    return np_sim3(Rt, -(Rt @ S["t"]) / S["s"], 1.0 / S["s"])
+
+
+def np_sim3_apply(S, pts: np.ndarray) -> np.ndarray:
+    return S["s"] * (pts @ S["R"].T) + S["t"]
+
+
+def np_sim3_to_se3(S) -> np.ndarray:
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = S["R"]
+    T[:3, 3] = S["t"] / S["s"]
+    return T
+
+
+class LoopCandidate(NamedTuple):
+    kf: int
+    Scl: dict              # host Sim3: loop-KF camera frame -> current camera frame
+    n_inliers: int
+
+
+class _CovisMap:
+    """Lazy covisibility-group lookup for KeyframeDatabase voting."""
+
+    def __init__(self, arena: MapArena, min_shared: int):
+        self.arena = arena
+        self.min_shared = min_shared
+
+    def get(self, kf, default=None):
+        ids = self.arena.covisible_keyframes(int(kf), min_shared=self.min_shared)
+        return [int(kf)] + [int(i) for i in ids]
+
+
+class LoopCloser:
+    """Per-keyframe loop detection and correction over the array map."""
+
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        arena: MapArena,
+        K: Intrinsics,
+        vocab: Optional[bow_vocab.Vocabulary] = None,
+    ):
+        self.cfg = cfg
+        self.arena = arena
+        self.K = K
+        self.vocab = vocab
+        self.db = KeyframeDatabase(vocab.num_words if vocab else 0)
+        self.bow_frames: dict[int, BowFrame] = {}
+        self.consistent_groups: List[Tuple[set, int]] = []
+        self.last_loop_kf = -(10**9)
+        self.loop_edges: List[Tuple[int, int, dict]] = []  # (kf_a, kf_b, S_ab host Sim3)
+        self.n_loops_closed = 0
+        self.last_report: dict = {}
+        self._key = jax.random.PRNGKey(7)
+        self._tables = vocab.device_tables() if vocab else None
+
+        fix_scale = cfg.sensor in ("stereo", "rgbd")
+        self._jit_sim3 = jax.jit(
+            functools.partial(
+                sim3solver.solve_sim3_ransac,
+                K=K,
+                fix_scale=fix_scale,
+                min_inliers=cfg.loop.sim3_min_inliers,
+            )
+        )
+        self._jit_match = jax.jit(self._match_descriptors)
+        self._jit_guided = jax.jit(self._guided_projection_match)
+        if vocab:
+            self._jit_bow = jax.jit(
+                functools.partial(
+                    bow_vocab.transform,
+                    depth=vocab.depth,
+                    k=vocab.k,
+                )
+            )
+
+    # ------------------------------------------------------------------ device programs
+
+    @staticmethod
+    def _match_descriptors(desc_a, mask_a, desc_b, mask_b):
+        """SearchByBoW(KF, KF) equivalent (orb_matcher.cpp:499-632): mutual best
+        Hamming match under TH_LOW with 0.75 nn-ratio. The reference prunes the
+        search by shared vocabulary nodes purely for CPU speed; the MXU computes
+        the full matrix faster than the pruned gather."""
+        ham = hamming.hamming_matrix(desc_a, desc_b)
+        gate = mask_a[:, None] & mask_b[None, :]
+        res = matcher.gated_match(ham, gate, max_dist=50, nn_ratio=0.75, mutual=True)
+        return res.idx, res.valid
+
+    def _guided_projection_match(
+        self, S_R, S_t, S_s, pts_w, pt_desc, pt_mask, kf_xy, kf_desc, kf_valid
+    ):
+        """SearchByProjection(Scw) (orb_matcher.cpp:384-497): project world points
+        through a Sim3 world->cam, window-gate against keyframe features, Hamming
+        match (TH_LOW), per-feature dedup."""
+        K = self.K
+        pc = S_s * (pts_w @ S_R.T) + S_t[None, :]
+        z = jnp.where(pc[:, 2] > 1e-6, pc[:, 2], 1e-6)
+        uv = jnp.stack([K.fx * pc[:, 0] / z + K.cx, K.fy * pc[:, 1] / z + K.cy], axis=-1)
+        in_front = pc[:, 2] > 0.05
+        W, H = self.cfg.camera.width, self.cfg.camera.height
+        in_img = (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+        ok = pt_mask & in_front & in_img
+        gate = matcher.window_gate(uv, kf_xy, jnp.full(uv.shape[0], 10.0)) & (
+            ok[:, None] & kf_valid[None, :]
+        )
+        ham = hamming.hamming_matrix(pt_desc, kf_desc)
+        res = matcher.gated_match(ham, gate, max_dist=50)
+        res = matcher.resolve_duplicate_columns(res, kf_xy.shape[0])
+        return res.idx, res.valid
+
+    # ------------------------------------------------------------------ BoW bookkeeping
+
+    def compute_bow(self, kf: int) -> BowFrame:
+        """DBoW2 transform of a keyframe's descriptors (keyframe.cpp:127-137)."""
+        arena = self.arena
+        desc = jnp.asarray(arena.kf_desc[kf])
+        valid = jnp.asarray(arena.kf_feat_valid[kf])
+        word, _, weight = self._jit_bow(self._tables, desc, valid)
+        word, weight = jax.device_get([word, weight])
+        return BowFrame(word, weight)
+
+    # ------------------------------------------------------------------ main entry
+
+    def process_keyframe(self, kf: int) -> bool:
+        """DetectLoop + ComputeSim3 + CorrectLoop for one keyframe. Returns True if
+        a loop was closed (map poses/points were rewritten)."""
+        if self.vocab is None:
+            return False
+        bow = self.compute_bow(kf)
+        self.bow_frames[kf] = bow
+        candidates = self._detect(kf, bow)
+        self.db.add(kf, bow)
+        if not candidates:
+            return False
+        cand = self._compute_sim3(kf, candidates)
+        if cand is None:
+            return False
+        self._correct_loop(kf, cand)
+        self.n_loops_closed += 1
+        self.last_loop_kf = kf
+        return True
+
+    # ------------------------------------------------------------------ detection
+
+    def _detect(self, kf: int, bow: BowFrame) -> List[int]:
+        """DetectLoop (loop_closer.cpp:194-297): BoW candidates below the covisible
+        score floor + temporal-consistency voting across keyframes."""
+        cfg = self.cfg
+        if kf < self.last_loop_kf + cfg.loop.min_kf_gap or kf < cfg.loop.min_kf_gap:
+            return []
+        arena = self.arena
+        covis = arena.covisible_keyframes(kf, min_shared=cfg.mapping.covisibility_edge_min)
+        min_score = 1.0
+        for c in covis:
+            other = self.bow_frames.get(int(c))
+            if other is not None:
+                min_score = min(min_score, bow.score(other))
+        connected = set(int(c) for c in covis) | {kf}
+        raw = self.db.detect_loop_candidates(
+            bow,
+            min_score,
+            connected,
+            covisibility_groups=_CovisMap(arena, cfg.mapping.covisibility_edge_min),
+        )
+        if not raw:
+            self.consistent_groups = []
+            return []
+        # consistency voting (loop_closer.cpp:244-296): a candidate's covisibility
+        # group must overlap a group seen in N consecutive keyframes
+        enough: List[int] = []
+        new_groups: List[Tuple[set, int]] = []
+        for cand in raw:
+            group = set(
+                int(i)
+                for i in arena.covisible_keyframes(cand, min_shared=cfg.mapping.covisibility_edge_min)
+            ) | {cand}
+            best_count = 0
+            for prev_set, prev_count in self.consistent_groups:
+                if group & prev_set:
+                    best_count = max(best_count, prev_count + 1)
+            new_groups.append((group, best_count))
+            if best_count >= cfg.loop.consistency_threshold:
+                enough.append(cand)
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------ Sim3
+
+    def _compute_sim3(self, kf: int, candidates: List[int]) -> Optional[LoopCandidate]:
+        """ComputeSim3 (loop_closer.cpp:299-469): descriptor matches -> batched Horn
+        RANSAC -> guided-projection acceptance against the loop KF's local points."""
+        arena = self.arena
+        cfg = self.cfg
+        sf2 = cfg.orb.scale_factor ** 2
+
+        desc_c = jnp.asarray(arena.kf_desc[kf])
+        pid_c = arena.kf_point_idx[kf]
+        mask_c_np = (pid_c >= 0) & arena.kf_feat_valid[kf]
+        mask_c_np &= np.where(pid_c >= 0, arena.pt_valid[np.maximum(pid_c, 0)], False)
+        mask_c = jnp.asarray(mask_c_np)
+        T_cw = arena.kf_pose[kf].astype(np.float64)
+
+        for cand in candidates:
+            pid_l = arena.kf_point_idx[cand]
+            mask_l_np = (pid_l >= 0) & arena.kf_feat_valid[cand]
+            mask_l_np &= np.where(pid_l >= 0, arena.pt_valid[np.maximum(pid_l, 0)], False)
+            idx_dev, valid_dev = self._jit_match(
+                desc_c, mask_c, jnp.asarray(arena.kf_desc[cand]), jnp.asarray(mask_l_np)
+            )
+            idx, valid = jax.device_get([idx_dev, valid_dev])
+            rows = np.nonzero(valid)[0]
+            if len(rows) < cfg.loop.sim3_min_inliers:
+                continue
+            cols = idx[rows]
+            # 3D points in each camera frame
+            T_lw = arena.kf_pose[cand].astype(np.float64)
+            p_c_w = arena.pt_pos[pid_c[rows]]
+            p_l_w = arena.pt_pos[pid_l[cols]]
+            p_c = (p_c_w @ T_cw[:3, :3].T) + T_cw[:3, 3]
+            p_l = (p_l_w @ T_lw[:3, :3].T) + T_lw[:3, 3]
+            N = arena.kf_desc.shape[1]
+            pts1 = np.zeros((N, 3), np.float32)
+            pts2 = np.zeros((N, 3), np.float32)
+            uv1 = np.zeros((N, 2), np.float32)
+            uv2 = np.zeros((N, 2), np.float32)
+            s2_1 = np.ones(N, np.float32)
+            s2_2 = np.ones(N, np.float32)
+            m = np.zeros(N, bool)
+            n = len(rows)
+            pts1[:n] = p_c
+            pts2[:n] = p_l
+            uv1[:n] = arena.kf_xy[kf, rows]
+            uv2[:n] = arena.kf_xy[cand, cols]
+            s2_1[:n] = sf2 ** arena.kf_octave[kf, rows].astype(np.float32)
+            s2_2[:n] = sf2 ** arena.kf_octave[cand, cols].astype(np.float32)
+            m[:n] = True
+            self._key, sub = jax.random.split(self._key)
+            res = self._jit_sim3(
+                jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(s2_1), jnp.asarray(s2_2), jnp.asarray(m), key=sub,
+            )
+            ok, n_inl = jax.device_get([res.ok, res.n_inliers])
+            if not bool(ok):
+                continue
+            R, t, s = jax.device_get([res.R, res.t, res.s])
+            Scl = np_sim3(R, t, float(s))
+
+            # guided acceptance: project the loop KF's local map through the
+            # corrected S_cw into the current KF (loop_closer.cpp:441-468)
+            S_lw = np_sim3_from_se3(T_lw.astype(np.float32))
+            S_cw_corr = np_sim3_compose(Scl, S_lw)
+            loop_pts, loop_desc, _ = self._local_points_of(cand)
+            n_total = self._count_guided_matches(kf, S_cw_corr, loop_pts, loop_desc)
+            self.last_report = {
+                "candidate": int(cand), "sim3_inliers": int(n_inl),
+                "guided_matches": int(n_total),
+            }
+            if n_total >= cfg.loop.accept_total_matches:
+                return LoopCandidate(kf=int(cand), Scl=Scl, n_inliers=int(n_inl))
+        return None
+
+    def _local_points_of(self, kf: int, cap: int = 4096):
+        """World positions + descriptors of kf's and its covisible KFs' points."""
+        arena = self.arena
+        kfs = [kf] + [
+            int(i)
+            for i in arena.covisible_keyframes(kf, min_shared=self.cfg.mapping.covisibility_edge_min)
+        ]
+        pids = arena.kf_point_idx[np.asarray(kfs, np.int64)].reshape(-1)
+        pids = np.unique(pids[pids >= 0])
+        pids = pids[arena.pt_valid[pids]]
+        if len(pids) > cap:
+            pids = pids[np.argsort(-arena.pt_obs_count[pids], kind="stable")[:cap]]
+        P = cap
+        pts = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 8), np.uint32)
+        ids = np.full(P, -1, np.int32)
+        pts[: len(pids)] = arena.pt_pos[pids]
+        desc[: len(pids)] = arena.pt_desc[pids]
+        ids[: len(pids)] = pids
+        return pts, desc, ids
+
+    def _count_guided_matches(self, kf: int, S_cw, pts, desc) -> int:
+        arena = self.arena
+        mask = jnp.asarray(np.any(pts != 0, axis=1))
+        idx_dev, valid_dev = self._jit_guided(
+            jnp.asarray(np.float32(S_cw["R"])), jnp.asarray(np.float32(S_cw["t"])),
+            jnp.asarray(np.float32(S_cw["s"])),
+            jnp.asarray(pts), jnp.asarray(desc), mask,
+            jnp.asarray(arena.kf_xy[kf]), jnp.asarray(arena.kf_desc[kf]),
+            jnp.asarray(arena.kf_feat_valid[kf]),
+        )
+        return int(jax.device_get(valid_dev).sum())
+
+    # ------------------------------------------------------------------ correction
+
+    def _correct_loop(self, kf: int, cand: LoopCandidate) -> None:
+        """CorrectLoop (loop_closer.cpp:501-695): Sim3-propagate the current
+        covisible group, fuse loop points, optimize the essential graph, correct
+        all map points."""
+        arena = self.arena
+        cfg = self.cfg
+        loop_kf = cand.kf
+
+        # --- snapshot pre-correction poses for edge measurements ---
+        n_kfs = arena.num_kfs
+        pre_pose = arena.kf_pose[:n_kfs].copy()
+
+        # --- corrected Sim3 for the current group (loop_closer.cpp:537-585) ---
+        group = [kf] + [
+            int(i)
+            for i in arena.covisible_keyframes(kf, min_shared=cfg.mapping.covisibility_edge_min)
+        ]
+        T_cw = pre_pose[kf].astype(np.float64)
+        S_lw = np_sim3_from_se3(arena.kf_pose[loop_kf])
+        S_cw_corr = np_sim3_compose(cand.Scl, S_lw)
+        corrected: dict[int, dict] = {}
+        non_corrected: dict[int, dict] = {}
+        for i in group:
+            T_iw = pre_pose[i].astype(np.float64)
+            T_ic = T_iw @ np.linalg.inv(T_cw)
+            S_ic = np_sim3_from_se3(T_ic.astype(np.float32))
+            corrected[i] = np_sim3_compose(S_ic, S_cw_corr)
+            non_corrected[i] = np_sim3_from_se3(pre_pose[i])
+
+        # --- move group points + poses (each point corrected once, via its first
+        # observing group member) ---
+        moved = set()
+        for i in group:
+            pids = arena.kf_point_idx[i]
+            pids = np.unique(pids[pids >= 0])
+            pids = [int(p) for p in pids if arena.pt_valid[p] and p not in moved]
+            if pids:
+                pids_arr = np.asarray(pids, np.int64)
+                S_old = non_corrected[i]
+                S_new_inv = np_sim3_inverse(corrected[i])
+                p = arena.pt_pos[pids_arr].astype(np.float64)
+                arena.pt_pos[pids_arr] = np_sim3_apply(
+                    S_new_inv, np_sim3_apply(S_old, p)
+                ).astype(np.float32)
+                moved.update(pids)
+            arena.kf_pose[i] = np_sim3_to_se3(corrected[i])
+
+        # --- snapshot the PRE-fuse covisibility structure: the essential graph's
+        # spanning-tree/covisibility edges must reflect the odometry-time graph,
+        # not the fresh cross-loop links fusion is about to create ---
+        pre_covis = {
+            i: arena.covisibility_counts(i).copy()
+            for i in range(n_kfs)
+            if arena.kf_valid[i]
+        }
+        pre_connected = {
+            i: set(np.nonzero(c >= cfg.mapping.covisibility_edge_min)[0].tolist())
+            for i, c in pre_covis.items()
+        }
+
+        # --- fuse loop points into the corrected group (SearchAndFuse :471-499) ---
+        loop_pts, loop_desc, loop_ids = self._local_points_of(loop_kf)
+        mask = jnp.asarray(loop_ids >= 0)
+        n_fused = 0
+        for i in group:
+            S_iw = corrected[i]
+            idx_dev, valid_dev = self._jit_guided(
+                jnp.asarray(np.float32(S_iw["R"])), jnp.asarray(np.float32(S_iw["t"])),
+                jnp.asarray(np.float32(S_iw["s"])),
+                jnp.asarray(loop_pts), jnp.asarray(loop_desc), mask,
+                jnp.asarray(arena.kf_xy[i]), jnp.asarray(arena.kf_desc[i]),
+                jnp.asarray(arena.kf_feat_valid[i]),
+            )
+            idx, valid = jax.device_get([idx_dev, valid_dev])
+            for p_slot in np.nonzero(valid)[0]:
+                loop_pid = int(loop_ids[p_slot])
+                feat = int(idx[p_slot])
+                if loop_pid < 0 or not arena.pt_valid[loop_pid]:
+                    continue
+                cur_pid = int(arena.kf_point_idx[i, feat])
+                if cur_pid >= 0:
+                    if arena.pt_valid[cur_pid] and cur_pid != loop_pid:
+                        # loop point wins (loop_closer.cpp:492: Replace with pLoopMP)
+                        arena.merge_points(loop_pid, cur_pid)
+                        n_fused += 1
+                else:
+                    arena.associate(i, feat, loop_pid)
+                    n_fused += 1
+
+        # --- new cross-loop connections created by fusion (CorrectLoop's
+        # LoopConnections map, loop_closer.cpp:633-651) ---
+        group_set = set(group)
+        loop_connections: dict[int, set] = {}
+        for i in group:
+            now = set(
+                np.nonzero(
+                    arena.covisibility_counts(i) >= cfg.mapping.covisibility_edge_min
+                )[0].tolist()
+            )
+            loop_connections[i] = now - pre_connected.get(i, set()) - group_set
+
+        # --- loop edge bookkeeping ---
+        S_loop_rel = np_sim3_compose(
+            corrected[kf], np_sim3_inverse(np_sim3_from_se3(arena.kf_pose[loop_kf]))
+        )  # S_c<-l expressed post-correction
+        self.loop_edges.append((loop_kf, kf, S_loop_rel))
+
+        # --- essential graph (optimizer.cpp:718-960) ---
+        self._optimize_essential_graph(
+            kf, loop_kf, pre_pose, corrected, pre_covis, loop_connections
+        )
+        self.last_report.update({"fused": n_fused, "group": len(group)})
+
+    # ------------------------------------------------------------------ pose graph
+
+    def _optimize_essential_graph(
+        self,
+        kf: int,
+        loop_kf: int,
+        pre_pose: np.ndarray,
+        corrected: dict,
+        pre_covis: dict,
+        loop_connections: dict,
+    ) -> None:
+        arena = self.arena
+        cfg = self.cfg
+        n_kfs = arena.num_kfs
+
+        # vertex initial values: corrected Sim3 for the group, current poses otherwise
+        V = _next_pow2(max(n_kfs, 2))
+        v_R = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+        v_t = np.zeros((V, 3), np.float32)
+        v_s = np.ones(V, np.float32)
+        v_fixed = np.ones(V, bool)
+        v_mask = np.zeros(V, bool)
+        pre_sim3 = []
+        for i in range(n_kfs):
+            S = corrected.get(i)
+            if S is None:
+                S = np_sim3_from_se3(arena.kf_pose[i])
+            pre_sim3.append(S)
+            v_R[i] = S["R"]
+            v_t[i] = S["t"]
+            v_s[i] = S["s"]
+            valid = bool(arena.kf_valid[i])
+            v_mask[i] = valid
+            v_fixed[i] = (i == loop_kf) or not valid
+
+        # Edge construction mirrors optimizer.cpp:756-841:
+        #   1. NEW cross-loop connections (LoopConnections) — measurements from the
+        #      vertex INITIAL Sim3s (corrected group poses vs. untouched loop-side
+        #      poses), so these edges are satisfied at init and anchor the group;
+        #   2. spanning tree (strongest earlier covisible, PRE-fuse structure) and
+        #      covisibility edges >= minFeat — measurements from PRE-correction
+        #      poses (NonCorrectedSim3): the preserved odometry;
+        #   3. loop edges from previous closures (KeyFrame::GetLoopEdges).
+        e_i: List[int] = []
+        e_j: List[int] = []
+        e_R: List[np.ndarray] = []
+        e_t: List[np.ndarray] = []
+        e_s: List[float] = []
+        e_w: List[float] = []
+        seen = set()
+
+        def add_edge(i: int, j: int, S_ji: dict, w: float = 1.0):
+            key = (min(i, j), max(i, j))
+            if key in seen or i == j:
+                return
+            seen.add(key)
+            e_i.append(i)
+            e_j.append(j)
+            e_R.append(np.float32(S_ji["R"]))
+            e_t.append(np.float32(S_ji["t"]))
+            e_s.append(float(S_ji["s"]))
+            e_w.append(w)
+
+        def rel_pre(i: int, j: int) -> dict:
+            """S_ji from pre-correction poses."""
+            T_ji = pre_pose[j].astype(np.float64) @ np.linalg.inv(pre_pose[i].astype(np.float64))
+            return np_sim3_from_se3(T_ji.astype(np.float32))
+
+        def rel_init(i: int, j: int) -> dict:
+            """S_ji from the vertex initial values (corrected where applicable)."""
+            return np_sim3_compose(pre_sim3[j], np_sim3_inverse(pre_sim3[i]))
+
+        # 1. new cross-loop connections (weight gate except the cur<->loop pair)
+        min_feat = cfg.loop.essential_graph_min_feat
+        for i, partners in loop_connections.items():
+            counts_i = arena.covisibility_counts(i)
+            for j in partners:
+                j = int(j)
+                if j >= n_kfs or not arena.kf_valid[j]:
+                    continue
+                is_main_pair = {i, j} == {kf, loop_kf}
+                if not is_main_pair and counts_i[j] < min_feat:
+                    continue
+                add_edge(i, j, rel_init(i, j))
+
+        # 2. spanning tree + covisibility edges from the pre-fuse structure
+        for i in range(1, n_kfs):
+            if not arena.kf_valid[i]:
+                continue
+            counts = pre_covis.get(i)
+            if counts is None:
+                continue
+            earlier = counts[:i]
+            if earlier.size and earlier.max() > 0:
+                parent = int(np.argmax(earlier))
+                add_edge(i, parent, rel_pre(i, parent))
+            strong = np.nonzero(counts >= min_feat)[0]
+            for j in strong:
+                if j < i:
+                    add_edge(i, int(j), rel_pre(i, int(j)))
+
+        # 3. previous loop edges (stored with their at-closure relative Sim3)
+        for (a, b, S_ab) in self.loop_edges:
+            add_edge(a, b, S_ab)
+
+        E = _next_pow2(max(len(e_i), 2))
+        pad = E - len(e_i)
+        prob = pose_graph.PoseGraphProblem(
+            v_R=jnp.asarray(v_R),
+            v_t=jnp.asarray(v_t),
+            v_s=jnp.asarray(v_s),
+            v_fixed=jnp.asarray(v_fixed),
+            v_mask=jnp.asarray(v_mask),
+            e_i=jnp.asarray(np.asarray(e_i + [0] * pad, np.int32)),
+            e_j=jnp.asarray(np.asarray(e_j + [0] * pad, np.int32)),
+            e_R=jnp.asarray(
+                np.concatenate([np.stack(e_R), np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+                if e_R else np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+            ),
+            e_t=jnp.asarray(np.concatenate([np.stack(e_t), np.zeros((pad, 3), np.float32)]) if e_t else np.zeros((E, 3), np.float32)),
+            e_s=jnp.asarray(np.asarray(e_s + [1.0] * pad, np.float32)),
+            e_mask=jnp.asarray(np.asarray([True] * len(e_i) + [False] * pad)),
+            e_weight=jnp.asarray(np.asarray(e_w + [0.0] * pad, np.float32)),
+        )
+        res = pose_graph.optimize(prob, iters=cfg.loop.essential_graph_iters)
+        v_R2, v_t2, v_s2 = jax.device_get([res.v_R, res.v_t, res.v_s])
+
+        # write back poses + correct every point via its reference keyframe
+        # (optimizer.cpp:925-958)
+        post_sim3 = [np_sim3(v_R2[i], v_t2[i], v_s2[i]) for i in range(n_kfs)]
+        n_pts = arena.num_pts
+        ref = arena.pt_obs_kf[:n_pts, 0].copy()
+        ref = np.where(ref >= 0, ref, arena.pt_first_kf[:n_pts])
+        ok = arena.pt_valid[:n_pts] & (ref >= 0) & (ref < n_kfs)
+        for r in np.unique(ref[ok]):
+            sel = np.nonzero(ok & (ref == r))[0]
+            S_old = pre_sim3[int(r)]
+            S_new_inv = np_sim3_inverse(post_sim3[int(r)])
+            p = arena.pt_pos[sel].astype(np.float64)
+            arena.pt_pos[sel] = np_sim3_apply(
+                S_new_inv, np_sim3_apply(S_old, p)
+            ).astype(np.float32)
+        for i in range(n_kfs):
+            if arena.kf_valid[i]:
+                arena.kf_pose[i] = np_sim3_to_se3(post_sim3[i])
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
