@@ -121,6 +121,7 @@ class LoopConfig:
     essential_graph_min_feat: int = 100
     essential_graph_iters: int = 20
     global_ba_iters: int = 10
+    run_global_ba: bool = True            # loop_closer.cpp:685-690 spawns GBA
 
 
 @dataclasses.dataclass(frozen=True)

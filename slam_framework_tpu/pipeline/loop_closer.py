@@ -459,6 +459,17 @@ class LoopCloser:
         self._optimize_essential_graph(
             kf, loop_kf, pre_pose, corrected, pre_covis, loop_connections
         )
+
+        # --- follow-up global BA (RunGlobalBundleAdjustment, loop_closer.cpp:73-172;
+        # the reference detaches a thread and merges later via the spanning tree —
+        # here the pipeline is sequenced, so the refinement applies in place) ---
+        if cfg.loop.run_global_ba:
+            from slam_framework_tpu.optim import global_ba
+
+            gba = global_ba.run_global_ba(
+                self.arena, cfg, self.K, iters=(0, cfg.loop.global_ba_iters)
+            )
+            self.last_report.update({"gba": gba})
         self.last_report.update({"fused": n_fused, "group": len(group)})
 
     # ------------------------------------------------------------------ pose graph
