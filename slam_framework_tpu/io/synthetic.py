@@ -55,6 +55,33 @@ class SyntheticWorld:
     def stereo_pair(self, frame: int) -> Tuple[np.ndarray, np.ndarray]:
         return self.render(frame, False), self.render(frame, True)
 
+    def render_depth(self, frame: int) -> np.ndarray:
+        """Registered depth map for the left camera (RGB-D sensor emulation):
+        painter-sorted sprite squares filled with their camera-frame z."""
+        cam = self.cam
+        Tcw = self.poses[frame]
+        depth = np.zeros((cam.height, cam.width), np.float32)
+        Xc = (Tcw[:3, :3] @ self.landmarks.T).T + Tcw[:3, 3]
+        z = Xc[:, 2]
+        vis = z > 0.5
+        u = cam.fx * Xc[:, 0] / np.where(vis, z, 1.0) + cam.cx
+        v = cam.fy * Xc[:, 1] / np.where(vis, z, 1.0) + cam.cy
+        half_px = cam.fx * self.sizes / np.where(vis, z, 1.0)
+        vis &= (u > -40) & (u < cam.width + 40) & (v > -40) & (v < cam.height + 40)
+        vis &= half_px >= 1.0
+        order = np.argsort(-z[vis])
+        for i in np.nonzero(vis)[0][order]:
+            hp = min(int(half_px[i]), 40)
+            x0, y0 = int(round(u[i])) - hp, int(round(v[i])) - hp
+            xa, ya = max(x0, 0), max(y0, 0)
+            xb, yb = min(x0 + 2 * hp + 1, cam.width), min(y0 + 2 * hp + 1, cam.height)
+            if xb > xa and yb > ya:
+                depth[ya:yb, xa:xb] = z[i]
+        return depth
+
+    def rgbd_pair(self, frame: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self.render(frame, False), self.render_depth(frame)
+
 
 def render_sprites(
     landmarks: np.ndarray,

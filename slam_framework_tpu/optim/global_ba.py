@@ -86,7 +86,10 @@ def _gather_sum(data: jnp.ndarray, slots: jnp.ndarray, chunk: int = 256) -> jnp.
         vals = data[jnp.maximum(sl, 0)] * has
         return acc + jnp.sum(vals, axis=1), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros((C, D), data.dtype), slots_r)
+    # carry zero derived from data: under shard_map the carry must share data's
+    # device-varying type or scan rejects the body (constants are unvaried)
+    zero = jnp.zeros((C, D), data.dtype) + 0.0 * jnp.sum(data[:1])
+    acc, _ = jax.lax.scan(body, zero, slots_r)
     return acc
 
 
@@ -127,7 +130,7 @@ _TRIU3 = [(i, j) for i in range(3) for j in range(i, 3)]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("K", "iters_first", "iters_second", "cg_iters")
+    jax.jit, static_argnames=("K", "iters_first", "iters_second", "cg_iters", "axis_name")
 )
 def optimize_global(
     prob: GlobalBAProblem,
@@ -136,7 +139,17 @@ def optimize_global(
     iters_second: int = 10,
     cg_iters: int = 60,
     lam0: float = 1e-4,
+    axis_name: str | None = None,
 ) -> GlobalBAResult:
+    """When axis_name is set, the problem's point/observation tensors are device
+    shards inside a shard_map over that mesh axis: every camera-space reduction is
+    followed by a psum over ICI — the distributed Schur BA of SURVEY.md §5.8. The
+    camera state stays replicated; each device owns a block of points + their
+    observations (built by parallel/dist_ba.py)."""
+
+    def _allred(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
     C = prob.cam_pose.shape[0]
     P = prob.pt_pos.shape[0]
     is_stereo = prob.obs_ur >= 0.0
@@ -169,7 +182,7 @@ def optimize_global(
                 for i in range(6)
             ]
             cam_stacked = jnp.stack(cam_cols, axis=-1)  # (M, 27)
-            per_cam = _gather_sum(cam_stacked, prob.cam_obs_slots)  # (C, 27)
+            per_cam = _allred(_gather_sum(cam_stacked, prob.cam_obs_slots))  # (C, 27)
             Hcc = jnp.zeros((C, 6, 6))
             for n_, (i, j) in enumerate(_TRIU6):
                 Hcc = Hcc.at[:, i, j].set(per_cam[:, n_])
@@ -221,17 +234,17 @@ def optimize_global(
                 a_p = jnp.sum(u_m[safe_po] * has_po[..., None], axis=1)  # (P,3)
                 b_p = _einsum("pij,pj->pi", Hpp_inv, a_p)
                 q_m = _einsum("mij,mj->mi", W, b_p[prob.obs_pt])  # (M,6)
-                sub = _gather_sum(q_m, prob.cam_obs_slots)        # (C,6)
+                sub = _allred(_gather_sum(q_m, prob.cam_obs_slots))  # (C,6)
                 out = _einsum("cij,cj->ci", Hcc_d, v) - sub
                 return out * free_f + (1.0 - free_f) * v
 
             # rhs = bc - U Hpp^-1 bp
             q_rhs = _einsum("mij,mj->mi", W, _einsum("mij,mj->mi", Hpi_of_obs, bp[prob.obs_pt]))
-            rhs = (bc - _gather_sum(q_rhs, prob.cam_obs_slots)) * free_f
+            rhs = (bc - _allred(_gather_sum(q_rhs, prob.cam_obs_slots))) * free_f
 
             # block-Jacobi preconditioner: diag(S) ~= Hcc_d - sum_obs W Hpp^-1 W^T
             diag_sub_m = _einsum("mij,mjk,mlk->mil", W, Hpi_of_obs, W).reshape(-1, 36)
-            S_diag = Hcc_d - _gather_sum(diag_sub_m, prob.cam_obs_slots).reshape(C, 6, 6)
+            S_diag = Hcc_d - _allred(_gather_sum(diag_sub_m, prob.cam_obs_slots)).reshape(C, 6, 6)
             Minv = _inv6x6_psd(S_diag)
 
             dxc = -_pcg_cam(schur_mv, rhs, Minv, cg_iters) * free_f
@@ -246,8 +259,8 @@ def optimize_global(
 
             _, _, z2, ru2, rv2, rur2, _ = _project_scalars(new_cam, new_pt, prob, K)
             chi2_new = _chi2_scalars(ru2, rv2, rur2, z2, prob, is_stereo)
-            err_old = jnp.sum(jnp.where(active, jnp.minimum(chi2, 1e6), 0.0))
-            err_new = jnp.sum(jnp.where(active, jnp.minimum(chi2_new, 1e6), 0.0))
+            err_old = _allred(jnp.sum(jnp.where(active, jnp.minimum(chi2, 1e6), 0.0)))
+            err_new = _allred(jnp.sum(jnp.where(active, jnp.minimum(chi2_new, 1e6), 0.0)))
             improved = err_new < err_old
             cam_pose = jnp.where(improved, new_cam, cam_pose)
             pt_pos = jnp.where(improved, new_pt, pt_pos)
@@ -268,7 +281,7 @@ def optimize_global(
     _, _, z, ru, rv, rur, _ = _project_scalars(cam_pose, pt_pos, prob, K)
     chi2 = _chi2_scalars(ru, rv, rur, z, prob, is_stereo)
     inlier = prob.obs_mask & (chi2 <= delta2)
-    total = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    total = _allred(jnp.sum(jnp.where(inlier, chi2, 0.0)))
     return GlobalBAResult(
         cam_pose=cam_pose, pt_pos=pt_pos, obs_inlier=inlier, chi2=chi2, total_chi2=total
     )

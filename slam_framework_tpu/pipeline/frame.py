@@ -74,6 +74,51 @@ class StereoFrontend:
         )
 
 
+class RgbdFrontend:
+    """grayscale + registered depth map -> FrameData.
+
+    TPU-native replacement for the RGB-D Frame constructor (reference:
+    src/data/frame.cpp:120-158 + ComputeStereoFromRGBD :579-597): depth is sampled
+    at each keypoint's integer location and a virtual right-image coordinate
+    u_r = u - bf/d is synthesized so the whole stereo pipeline (tracking, BA stereo
+    residuals) applies unchanged. Drop-in replacement for StereoFrontend: `_process`
+    takes (gray, depth) like (left, right).
+    """
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.K = Intrinsics(
+            cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy, cfg.camera.bf
+        )
+        self.extractor = OrbExtractor(cfg.orb, max_features=cfg.capacity.max_features)
+        self._jit = jax.jit(self._process)
+
+    def __call__(self, gray: jnp.ndarray, depth: jnp.ndarray) -> FrameData:
+        return self._jit(gray, depth)
+
+    def _process(self, gray: jnp.ndarray, depth: jnp.ndarray) -> FrameData:
+        cfg = self.cfg
+        f: Features = self.extractor._extract(gray.astype(jnp.uint8))
+        H, W = depth.shape
+        ui = jnp.clip(jnp.round(f.xy[:, 0]).astype(jnp.int32), 0, W - 1)
+        vi = jnp.clip(jnp.round(f.xy[:, 1]).astype(jnp.int32), 0, H - 1)
+        d = depth[vi, ui].astype(jnp.float32)
+        if cfg.camera.depth_map_factor not in (0.0, 1.0):
+            d = d / cfg.camera.depth_map_factor
+        has = (d > 0) & f.valid
+        u_right = jnp.where(has, f.xy[:, 0] - self.K.bf / jnp.maximum(d, 1e-6), -1.0)
+        return FrameData(
+            xy=f.xy,
+            response=f.response,
+            angle=f.angle,
+            octave=f.octave,
+            desc=f.desc,
+            valid=f.valid,
+            u_right=u_right,
+            depth=jnp.where(has, d, -1.0),
+        )
+
+
 class MonoFrontend:
     """Single grayscale image -> FrameData (depth/u_right invalid)."""
 

@@ -83,7 +83,12 @@ class StereoTracker:
 
     def __init__(self, cfg: SlamConfig, arena: Optional[MapArena] = None, sync_every: int = 4):
         self.cfg = cfg
-        self.frontend = StereoFrontend(cfg)
+        if cfg.sensor == "rgbd":
+            from slam_framework_tpu.pipeline.frame import RgbdFrontend
+
+            self.frontend = RgbdFrontend(cfg)
+        else:
+            self.frontend = StereoFrontend(cfg)
         self.K = self.frontend.K
         self.arena = arena or MapArena.create(cfg.capacity, cfg.capacity.max_features)
         self.state = TrackingState.NO_IMAGES_YET
@@ -97,6 +102,8 @@ class StereoTracker:
         self.on_new_keyframe = None  # hook: called with kf id after insertion
 
         self.local_mapper = LocalMapper(cfg, self.arena, self.K)
+        self.relocalizer = None       # set by SlamSystem once place recognition exists
+        self.localization_only = False  # ActivateLocalizationMode (slam_system.h:38)
         self._dstate: Optional[DeviceTrackState] = None
         self._block = None            # device PointBlock for local-map association
         self._block_ids = None        # (P,) np int32 — global point id per block slot
@@ -190,13 +197,23 @@ class StereoTracker:
     # ------------------------------------------------------------------ main entry
 
     def track(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
-        """Feed one stereo pair. Returns the latest SYNCED pose (lags sync_every
-        frames) or None before initialization. Call flush() to drain at end."""
+        """Feed one stereo pair (or gray+depth in RGB-D mode). Returns the latest
+        SYNCED pose (lags sync_every frames) or None before initialization. Call
+        flush() to drain at end."""
+        if self.cfg.sensor == "rgbd":
+            # gray (uint8) and depth (float) must share a dtype to stack per chunk
+            left = np.asarray(left, np.float32)
+            right = np.asarray(right, np.float32)
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             ok = self._initialize(left, right, timestamp)
             self.state = TrackingState.OK if ok else TrackingState.NOT_INITIALIZED
             self.frame_id += 1
             return self.records[-1].pose if ok else None
+
+        if self.state == TrackingState.LOST:
+            self._track_lost(left, right, timestamp)
+            self.frame_id += 1
+            return self.records[-1].pose if self.records else None
 
         self._buf.append((left, right, self.frame_id, timestamp))
         self.frame_id += 1
@@ -231,6 +248,12 @@ class StereoTracker:
         summaries = jax.device_get(summaries_dev)  # ONE RPC for the whole chunk
         made_kf = False
         for j, (fid, ts) in enumerate(zip(fids, tss)):
+            if self.state == TrackingState.LOST:
+                # frames after a lost frame were tracked from garbage device state;
+                # they are unusable (the reference's caller thread simply stops
+                # producing usable poses until relocalization, tracker.cpp:826)
+                self.records.append(FrameRecord(fid, ts, None, True, self.ref_kf))
+                continue
             s = summaries[j]
             pose = s[0:16].reshape(4, 4).astype(np.float32)
             n_inliers = int(s[17])
@@ -242,11 +265,66 @@ class StereoTracker:
                 self.state = TrackingState.OK
                 rec = FrameRecord(fid, ts, pose, False, self.ref_kf)
                 self.metrics.append({"matches": int(s[16]), "inliers": n_inliers})
-                if not made_kf and self._need_new_keyframe(fid, s):
+                if (
+                    not made_kf
+                    and not self.localization_only
+                    and self._need_new_keyframe(fid, s)
+                ):
                     self._create_keyframe(fid, ts, pose, packs_dev[j], descs_dev[j])
                     rec.ref_kf = self.ref_kf
                     made_kf = True  # at most one KF per chunk
             self.records.append(rec)
+        if self.state == TrackingState.LOST:
+            # drop buffered/pending work — it descends from the lost state
+            for (ids, tss2, *_rest) in self._pending:
+                for fid2, ts2 in zip(ids, tss2):
+                    self.records.append(FrameRecord(fid2, ts2, None, True, self.ref_kf))
+            self._pending = []
+            for (_l, _r, fid2, ts2) in self._buf:
+                self.records.append(FrameRecord(fid2, ts2, None, True, self.ref_kf))
+            self._buf = []
+
+    # ------------------------------------------------------------------ relocalization
+
+    def _track_lost(self, left, right, timestamp) -> None:
+        """Relocalization attempt for one frame (Tracker::Relocalization path,
+        tracker.cpp:826-991). On success the device state is re-seeded and normal
+        chunked tracking resumes."""
+        fd = self.frontend(jnp.asarray(left), jnp.asarray(right))
+        host = jax.device_get(
+            {
+                "xy": fd.xy, "desc": fd.desc, "valid": fd.valid,
+                "octave": fd.octave, "angle": fd.angle, "u_right": fd.u_right,
+            }
+        )
+        res = self.relocalizer.try_relocalize(host) if self.relocalizer else None
+        if res is None:
+            self.records.append(
+                FrameRecord(self.frame_id, timestamp, None, True, self.ref_kf)
+            )
+            return
+        self.state = TrackingState.OK
+        self.ref_kf = res.kf
+        self._rebuild_block()
+        N = host["desc"].shape[0]
+        point_ids = np.full(N, -1, np.int32)
+        point_ids[res.feat_idx] = res.point_ids
+        slot = self._ids_to_slots(point_ids)
+        self._dstate = DeviceTrackState(
+            pose=jnp.asarray(res.pose),
+            velocity=jnp.eye(4, dtype=jnp.float32),
+            desc=jnp.asarray(host["desc"]),
+            octave=jnp.asarray(host["octave"].astype(np.int32)),
+            angle=jnp.asarray(host["angle"]),
+            pt_pos=jnp.asarray(self._block_pos_for_slots(slot)),
+            pt_mask=jnp.asarray(slot >= 0),
+            assoc_slot=jnp.asarray(slot),
+        )
+        self.records.append(
+            FrameRecord(self.frame_id, timestamp, res.pose, False, res.kf)
+        )
+        self.metrics.append({"matches": res.n_inliers, "inliers": res.n_inliers,
+                             "relocalized": True})
 
     def _need_new_keyframe(self, fid: int, s: np.ndarray) -> bool:
         """NeedNewKeyFrame (tracker.cpp:1229-1309) from the device summary."""
@@ -423,6 +501,8 @@ class StereoTracker:
         self._dstate = st._replace(
             assoc_slot=jnp.asarray(new_slots),
             pt_mask=jnp.asarray(new_slots >= 0),
+            # refresh tracked positions: BA / loop correction may have moved them
+            pt_pos=jnp.asarray(self._block_pos_for_slots(new_slots)),
         )
 
     # ------------------------------------------------------------------ local map block

@@ -1,0 +1,205 @@
+"""SlamSystem façade: the public per-frame API over the staged TPU pipeline.
+
+TPU-native replacement for SlamSystem (reference: src/slam_system.{h,cpp}):
+construction from config (+ vocabulary), per-frame entry points TrackStereo /
+TrackRGBD / TrackMonocular (:89-224), localization-mode switch (:131-141), reset
+handling (:97-120), Shutdown (:226-247), SaveTrajectoryKITTI (:264-314) and
+SaveKeyFrameTrajectory (:316-349).
+
+Differences from the reference architecture (deliberate, TPU-first):
+  - The three reference threads are sequenced pipeline stages driven by the
+    tracker's chunked device dispatch (see pipeline/tracker.py); no mutexes.
+  - The ORB vocabulary: the reference requires a pre-trained ORBvoc.txt (the blob
+    is stripped from the repo, .MISSING_LARGE_BLOBS:1). Here, if no vocabulary file
+    is configured, one is trained online from the first keyframes' descriptors —
+    place recognition (loop closing + relocalization) activates once trained.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from slam_framework_tpu.bow import vocabulary as bow_vocab
+from slam_framework_tpu.config import SlamConfig
+from slam_framework_tpu.io import trajectory
+from slam_framework_tpu.map.arena import MapArena
+from slam_framework_tpu.pipeline.loop_closer import LoopCloser
+from slam_framework_tpu.pipeline.relocalization import Relocalizer
+from slam_framework_tpu.pipeline.tracker import StereoTracker, TrackingState
+
+
+class SlamSystem:
+    """User-facing engine. One instance per camera stream."""
+
+    VOCAB_TRAIN_AT_KFS = 6       # train the online vocabulary once this many KFs exist
+    RESET_IF_LOST_BELOW_KFS = 5  # tracker.cpp:613-620
+
+    def __init__(self, cfg: Optional[SlamConfig] = None, config_path: Optional[str] = None,
+                 sensor: Optional[str] = None, sync_every: int = 4):
+        if cfg is None:
+            if config_path is None:
+                raise ValueError("provide cfg or config_path")
+            cfg = SlamConfig.from_json(config_path, sensor=sensor or "stereo")
+        if sensor is not None and sensor != cfg.sensor:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, sensor=sensor)
+        if cfg.sensor == "monocular":
+            raise NotImplementedError(
+                "monocular pipeline lands with pipeline/mono_tracker"
+            )
+        self.cfg = cfg
+        self.sync_every = sync_every
+        self.vocab: Optional[bow_vocab.Vocabulary] = None
+        if cfg.vocabulary_path:
+            try:
+                self.vocab = bow_vocab.load_orbvoc_text(cfg.vocabulary_path)
+            except (OSError, ValueError):
+                self.vocab = None  # fall back to online training
+        self.n_resets = 0
+        self._build()
+
+    # ------------------------------------------------------------------ lifecycle
+
+    def _build(self) -> None:
+        cfg = self.cfg
+        self.arena = MapArena.create(cfg.capacity, cfg.capacity.max_features)
+        self.tracker = StereoTracker(cfg, self.arena, sync_every=self.sync_every)
+        self.loop_closer: Optional[LoopCloser] = None
+        if self.vocab is not None:
+            self._activate_place_recognition()
+        self.tracker.on_new_keyframe = self._on_new_keyframe
+
+    def reset(self) -> None:
+        """Tracker::Reset (tracker.cpp:225-246): clear map, database, state."""
+        self.n_resets += 1
+        self._build()
+
+    def shutdown(self) -> dict:
+        """Drain pending device work; return run statistics (Shutdown :226-247)."""
+        self.tracker.flush()
+        return {
+            "frames": len(self.tracker.records),
+            "keyframes": self.arena.n_valid_kfs,
+            "map_points": self.arena.n_valid_pts,
+            "loops_closed": self.loop_closer.n_loops_closed if self.loop_closer else 0,
+            "resets": self.n_resets,
+        }
+
+    # ------------------------------------------------------------------ tracking API
+
+    def track_stereo(self, left: np.ndarray, right: np.ndarray, timestamp: float):
+        """Per-frame stereo entry (TrackStereo, slam_system.cpp:89-129). Returns the
+        latest synced Tcw (lags sync_every frames) or None."""
+        assert self.cfg.sensor == "stereo"
+        pose = self.tracker.track(left, right, timestamp)
+        self._maybe_reset()
+        return pose
+
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
+        """Per-frame RGB-D entry (TrackRGBD, slam_system.cpp:131-172)."""
+        assert self.cfg.sensor == "rgbd"
+        pose = self.tracker.track(gray, depth, timestamp)
+        self._maybe_reset()
+        return pose
+
+    def track_monocular(self, gray: np.ndarray, timestamp: float):
+        raise NotImplementedError("monocular pipeline lands with pipeline/mono_tracker")
+
+    def _maybe_reset(self) -> None:
+        if (
+            self.tracker.state == TrackingState.LOST
+            and self.arena.n_valid_kfs <= self.RESET_IF_LOST_BELOW_KFS
+            and self.tracker.relocalizer is None
+        ):
+            self.reset()
+
+    # ------------------------------------------------------------------ modes
+
+    def activate_localization_mode(self) -> None:
+        """Tracking-only: no new keyframes/map growth (slam_system.cpp:131-141)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self) -> None:
+        self.tracker.localization_only = False
+
+    @property
+    def tracking_state(self) -> TrackingState:
+        return self.tracker.state
+
+    # ------------------------------------------------------------------ stage wiring
+
+    def _activate_place_recognition(self) -> None:
+        K = self.tracker.K if hasattr(self, "tracker") else None
+        from slam_framework_tpu.geometry.projection import Intrinsics
+
+        cam = self.cfg.camera
+        K = Intrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+        self.loop_closer = LoopCloser(self.cfg, self.arena, K, self.vocab)
+
+    def _on_new_keyframe(self, kf: int) -> None:
+        # 1. online vocabulary training once the map has enough texture
+        if self.vocab is None and self.arena.n_valid_kfs >= self.VOCAB_TRAIN_AT_KFS:
+            self._train_vocabulary()
+        if self.loop_closer is None:
+            return
+        # catch up the BoW database (covers backfill after online training)
+        for k in range(self.arena.num_kfs):
+            if k == kf:
+                continue
+            if self.arena.kf_valid[k] and k not in self.loop_closer.bow_frames:
+                bow = self.loop_closer.compute_bow(k)
+                self.loop_closer.bow_frames[k] = bow
+                self.loop_closer.db.add(k, bow)
+        # 2. loop detection/correction for this keyframe
+        pre = self.arena.kf_pose[kf].copy()
+        closed = self.loop_closer.process_keyframe(kf)
+        if closed:
+            self._apply_world_correction(pre, self.arena.kf_pose[kf])
+
+    def _train_vocabulary(self) -> None:
+        arena = self.arena
+        descs = arena.kf_desc[: arena.num_kfs][arena.kf_feat_valid[: arena.num_kfs]]
+        if len(descs) < 500:
+            return
+        sample = descs[np.random.default_rng(0).permutation(len(descs))[:20000]]
+        self.vocab = bow_vocab.train(sample, k=8, depth=3, seed=0)
+        self._activate_place_recognition()
+        self.tracker.relocalizer = Relocalizer(
+            self.cfg, self.arena, self.tracker.K, self.loop_closer
+        )
+
+    def _apply_world_correction(self, kf_pose_pre: np.ndarray, kf_pose_post: np.ndarray) -> None:
+        """After a loop closure rewrote the map under the tracker, move the
+        device-resident pose into the corrected world: T' = T @ (T_pre^-1 T_post)."""
+        import jax.numpy as jnp
+
+        st = self.tracker._dstate
+        if st is None:
+            return
+        corr = np.linalg.inv(kf_pose_pre.astype(np.float64)) @ kf_pose_post.astype(np.float64)
+        self.tracker._dstate = st._replace(
+            pose=jnp.asarray(
+                (np.asarray(st.pose, np.float64) @ corr).astype(np.float32)
+            )
+        )
+
+    # ------------------------------------------------------------------ export
+
+    def save_trajectory_kitti(self, path: str) -> None:
+        """Per-frame camera trajectory in KITTI format (slam_system.cpp:264-314)."""
+        self.tracker.flush()
+        trajectory.save_kitti(path, self.tracker.trajectory_poses())
+
+    def save_keyframe_trajectory(self, path: str) -> None:
+        """Keyframe-only trajectory (slam_system.cpp:316-349)."""
+        self.tracker.flush()
+        arena = self.arena
+        kfs = np.nonzero(arena.kf_valid[: arena.num_kfs])[0]
+        trajectory.save_kitti(path, arena.kf_pose[kfs])
+
+    def frame_poses(self) -> np.ndarray:
+        self.tracker.flush()
+        return self.tracker.trajectory_poses()
