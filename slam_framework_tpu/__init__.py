@@ -12,4 +12,26 @@ graph; "threads" are pipeline stages; RANSAC is batched hypotheses, not sequenti
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the deployment TPU compiles remotely (~20-60 s
+# per program shape); caching makes every process after the first start warm.
+# Opt out with SLAM_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("SLAM_TPU_NO_COMPILE_CACHE"):
+    import platform as _platform
+
+    # scope by hostname: CPU AOT artifacts embed the compile machine's ISA
+    # features and other hosts refuse/warn on load
+    _cache_dir = _os.environ.get(
+        "SLAM_TPU_COMPILE_CACHE",
+        _os.path.expanduser(f"~/.cache/slam_tpu_xla_{_platform.node()}"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # older jax without the knobs — run uncached
+        pass
+
 from slam_framework_tpu.config import SlamConfig, CameraConfig, OrbConfig  # noqa: F401

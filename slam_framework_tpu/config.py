@@ -106,6 +106,9 @@ class MappingConfig:
     point_cull_found_ratio: float = 0.25      # local_mapper.cpp:236-251
     kf_cull_redundancy: float = 0.9           # local_mapper.cpp:609
     triangulation_neighbors: int = 10         # local_mapper.cpp:264 (20 mono)
+    triangulate_new_points: bool = True       # CreateNewMapPoints stage on/off
+    cull_keyframes: bool = True               # KeyFrameCulling stage on/off
+    kf_cull_min_age: int = 4                  # settle window before redundancy test
     local_ba_iters_first: int = 5             # optimizer.cpp:611
     local_ba_iters_second: int = 10           # optimizer.cpp:655
 

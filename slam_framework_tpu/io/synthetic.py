@@ -206,7 +206,12 @@ def make_world(
     # offset direction fixed per landmark, magnitude ~ half the sprite
     ang = rng.uniform(0, 2 * np.pi, num_landmarks)
     offsets = 0.45 * np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
-    # unique high-contrast pattern per landmark (see SyntheticWorld.textures)
+    # Unique high-contrast pattern per landmark (see SyntheticWorld.textures).
+    # NOTE: pixel-noise textures alias under the view-dependent magnification the
+    # renderer applies, so descriptors decorrelate over a few frames of forward
+    # motion (measured: ORB per-landmark min-Hamming ~90 at a 5-frame gap — for
+    # OpenCV's extractor as much as ours). Window/projection-gated matchers cope
+    # (small candidate sets); wide BoW matchers must use soft ratio tests here.
     textures = rng.integers(0, 255, (num_landmarks, 8, 8)).astype(np.uint8)
 
     return SyntheticWorld(

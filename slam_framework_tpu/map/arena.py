@@ -23,6 +23,7 @@ from typing import Optional
 
 import numpy as np
 
+from slam_framework_tpu import native
 from slam_framework_tpu.config import CapacityConfig
 
 
@@ -128,19 +129,36 @@ class MapArena:
         self.kf_feat_valid[k, :n] = feat_valid
         self.kf_point_idx[k, :n] = point_idx
         self.num_kfs = k + 1
-        # register observations
-        feats = np.nonzero(point_idx >= 0)[0]
-        for f in feats:
-            self._add_observation(int(point_idx[f]), k, int(f))
+        # register observations (native hot loop; see native/arena_ops.cpp)
+        lib = native.load_arena_ops()
+        if lib is not None:
+            row = self.kf_point_idx[k]
+            lib.register_observations(
+                k, native.as_i32p(row), row.shape[0],
+                native.as_i32p(self.pt_obs_kf), native.as_i32p(self.pt_obs_feat),
+                native.as_i32p(self.pt_obs_count), self.cap.max_obs_per_point,
+            )
+        else:
+            for f in np.nonzero(point_idx >= 0)[0]:
+                self._add_observation(int(point_idx[f]), k, int(f))
         return k
 
     def erase_keyframe(self, kf: int) -> None:
         """SetBadFlag equivalent (keyframe.cpp:515-614) minus spanning-tree surgery:
         remove all its observations and mark invalid."""
-        pids = self.kf_point_idx[kf]
-        for f in np.nonzero(pids >= 0)[0]:
-            self._remove_observation(int(pids[f]), kf)
-        self.kf_point_idx[kf] = -1
+        lib = native.load_arena_ops()
+        if lib is not None:
+            row = self.kf_point_idx[kf]
+            lib.erase_keyframe_observations(
+                kf, native.as_i32p(row), row.shape[0],
+                native.as_i32p(self.pt_obs_kf), native.as_i32p(self.pt_obs_feat),
+                native.as_i32p(self.pt_obs_count), self.cap.max_obs_per_point,
+            )
+        else:
+            pids = self.kf_point_idx[kf]
+            for f in np.nonzero(pids >= 0)[0]:
+                self._remove_observation(int(pids[f]), kf)
+            self.kf_point_idx[kf] = -1
         self.kf_valid[kf] = False
 
     # ------------------------------------------------------------------ points
@@ -215,6 +233,17 @@ class MapArena:
         visible/found counters accumulate."""
         if keep == kill or not self.pt_valid[kill]:
             return
+        lib = native.load_arena_ops()
+        if lib is not None:
+            lib.merge_points(
+                keep, kill,
+                native.as_i32p(self.kf_point_idx), self.kf_point_idx.shape[1],
+                native.as_i32p(self.pt_obs_kf), native.as_i32p(self.pt_obs_feat),
+                native.as_i32p(self.pt_obs_count),
+                native.as_i32p(self.pt_n_visible), native.as_i32p(self.pt_n_found),
+                native.as_u8p(self.pt_valid), self.cap.max_obs_per_point,
+            )
+            return
         keep_kfs = set(
             int(k) for k in self.pt_obs_kf[keep, : int(self.pt_obs_count[keep])]
         )
@@ -245,16 +274,25 @@ class MapArena:
         observation table instead of stored edges.
         """
         counts = np.zeros(self.num_kfs, np.int64)
-        pids = self.kf_point_idx[kf]
-        pids = pids[pids >= 0]
-        if len(pids) == 0:
-            return counts
-        obs_kfs = self.pt_obs_kf[pids]  # (n, O)
-        flat = obs_kfs[obs_kfs >= 0]
-        if len(flat):
-            bc = np.bincount(flat, minlength=self.num_kfs)
-            counts[: len(bc)] = bc[: self.num_kfs]
-        counts[kf] = 0
+        lib = native.load_arena_ops()
+        if lib is not None:
+            row = self.kf_point_idx[kf]
+            lib.covisibility_counts(
+                kf, native.as_i32p(row), row.shape[0],
+                native.as_i32p(self.pt_obs_kf), native.as_i32p(self.pt_obs_count),
+                self.cap.max_obs_per_point, native.as_i64p(counts), self.num_kfs,
+            )
+        else:
+            pids = self.kf_point_idx[kf]
+            pids = pids[pids >= 0]
+            if len(pids) == 0:
+                return counts
+            obs_kfs = self.pt_obs_kf[pids]  # (n, O)
+            flat = obs_kfs[obs_kfs >= 0]
+            if len(flat):
+                bc = np.bincount(flat, minlength=self.num_kfs)
+                counts[: len(bc)] = bc[: self.num_kfs]
+            counts[kf] = 0
         counts[~self.kf_valid[: self.num_kfs]] = 0
         return counts
 

@@ -26,6 +26,7 @@ from slam_framework_tpu.config import SlamConfig
 from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.map.arena import MapArena
 from slam_framework_tpu.optim import local_ba
+from slam_framework_tpu.pipeline import mapping_ops
 
 
 class LocalMapper:
@@ -34,6 +35,7 @@ class LocalMapper:
         self.arena = arena
         self.K = K
         self.recent_points: list[tuple[int, int]] = []  # (pid, created_at_kf)
+        self.on_erase_keyframe = None  # hook: notify place-recognition database
         self._jit_ba = jax.jit(
             functools.partial(
                 local_ba.optimize,
@@ -42,7 +44,13 @@ class LocalMapper:
                 iters_second=cfg.mapping.local_ba_iters_second,
             )
         )
+        self._jit_triangulate = functools.partial(
+            mapping_ops.triangulate_with_neighbors,
+            K=K, num_levels=cfg.orb.num_levels, scale_factor=cfg.orb.scale_factor,
+        )
         self.last_ba_stats: dict = {}
+        self.last_triangulation: dict = {}
+        self._ba_pending = None
 
     def note_new_points(self, pids, kf: int) -> None:
         self.recent_points.extend((int(p), kf) for p in np.atleast_1d(pids))
@@ -50,9 +58,139 @@ class LocalMapper:
     # ------------------------------------------------------------------ main entry
 
     def process_keyframe(self, kf: int) -> None:
-        """ProcessNewKeyFrame + culling + local BA (local_mapper.cpp:27-87 loop)."""
+        """ProcessNewKeyFrame + culling + triangulation + local BA + KF culling
+        (the LocalMapper::Run loop, local_mapper.cpp:27-87).
+
+        The local BA is ASYNCHRONOUS: the problem is dispatched here and its
+        results are written back at the next keyframe (flush_ba) — the reference
+        runs the same BA on a separate thread with the tracker proceeding on
+        bounded-stale map state (SURVEY.md §2.3). Callers that need settled poses
+        (loop closer, export) call flush_ba() first."""
+        self.flush_ba()
         self._cull_points(kf)
+        if self.cfg.mapping.triangulate_new_points:
+            self._create_new_points(kf)
         self._local_ba(kf)
+        if self.cfg.mapping.cull_keyframes:
+            self._cull_keyframes(kf)
+
+    # ------------------------------------------------------------------ triangulation
+
+    def _kf_blocks(self, kfs: np.ndarray, cand_on: np.ndarray) -> "mapping_ops.KFBlock":
+        """One stacked block for several keyframes — a SINGLE host->device upload
+        per field (per-KF uploads cost one tunnel RPC each; at 10 neighbors x 7
+        fields that alone was ~1s per keyframe)."""
+        arena = self.arena
+        kfs = np.asarray(kfs, np.int64)
+        pid = arena.kf_point_idx[kfs]
+        cand = arena.kf_feat_valid[kfs] & (pid < 0) & cand_on[:, None]
+        return mapping_ops.KFBlock(
+            pose=jnp.asarray(arena.kf_pose[kfs]),
+            xy=jnp.asarray(arena.kf_xy[kfs]),
+            ur=jnp.asarray(arena.kf_ur[kfs]),
+            octave=jnp.asarray(arena.kf_octave[kfs].astype(np.int32)),
+            angle=jnp.asarray(arena.kf_angle[kfs]),
+            desc=jnp.asarray(arena.kf_desc[kfs]),
+            cand=jnp.asarray(cand),
+        )
+
+    def _create_new_points(self, kf: int) -> None:
+        """CreateNewMapPoints (local_mapper.cpp:258-492): triangulate UNASSOCIATED
+        features of this keyframe against its best covisible neighbors — one
+        batched device program for all neighbors (pipeline/mapping_ops.py). For
+        stereo, unassociated features are exactly those without stereo depth, so
+        this adds the far points the depth head cannot."""
+        arena = self.arena
+        cfg = self.cfg
+        Nn = cfg.mapping.triangulation_neighbors
+        nbr_ids = arena.covisible_keyframes(
+            kf, min_shared=cfg.mapping.covisibility_edge_min, max_n=Nn
+        )
+        if len(nbr_ids) == 0:
+            return
+        cur = jax.tree.map(
+            lambda a: a[0], self._kf_blocks(np.asarray([kf]), np.ones(1, bool))
+        )
+        # pad to the static neighbor count with disabled slots
+        padded = np.concatenate([nbr_ids, np.full(Nn - len(nbr_ids), nbr_ids[0])])
+        cand_on = np.arange(Nn) < len(nbr_ids)
+        nbrs = self._kf_blocks(padded, cand_on)
+        min_baseline = (
+            cfg.camera.baseline if cfg.sensor in ("stereo", "rgbd") else 0.01
+        )
+        res = self._jit_triangulate(cur, nbrs, jnp.float32(min_baseline))
+        idx, pts, valid = jax.device_get([res.idx, res.pts, res.valid])
+
+        n_new = 0
+        for ni, nbr_kf in enumerate(nbr_ids):
+            rows = np.nonzero(valid[ni])[0]
+            for f in rows:
+                f = int(f)
+                if arena.kf_point_idx[kf, f] >= 0:
+                    continue  # claimed by an earlier neighbor this pass
+                nf = int(idx[ni, f])
+                if arena.kf_point_idx[nbr_kf, nf] >= 0:
+                    continue
+                pos = pts[ni, f]
+                center = -arena.kf_pose[kf, :3, :3].T @ arena.kf_pose[kf, :3, 3]
+                delta = pos - center
+                dist = float(np.linalg.norm(delta))
+                if dist < 1e-6:
+                    continue
+                sf = cfg.orb.scale_factor
+                octv = float(arena.kf_octave[kf, f])
+                max_dist = dist * (sf**octv)
+                pid = arena.add_point(
+                    pos, arena.kf_desc[kf, f], kf, delta / dist,
+                    max_dist / (sf ** (cfg.orb.num_levels - 1)), max_dist,
+                )
+                arena.associate(kf, f, pid)
+                arena.associate(int(nbr_kf), nf, pid)
+                self.recent_points.append((pid, kf))
+                n_new += 1
+        self.last_triangulation = {"neighbors": len(nbr_ids), "new_points": n_new}
+
+    # ------------------------------------------------------------------ KF culling
+
+    def _cull_keyframes(self, kf: int) -> None:
+        """KeyFrameCulling (local_mapper.cpp:556-613): a covisible keyframe is
+        redundant when >= 90% of its (>=3-obs) points are seen by >= 3 other
+        keyframes at the same or finer scale."""
+        arena = self.arena
+        cfg = self.cfg
+        for k in arena.covisible_keyframes(kf, min_shared=cfg.mapping.covisibility_edge_min):
+            k = int(k)
+            if k == 0 or k == kf or not arena.kf_valid[k]:
+                continue
+            # recency guard: our fuse-at-creation gives young points >=3 obs
+            # immediately, so the reference's redundancy test would erase brand-new
+            # keyframes and collapse the local-BA window. Only cull once settled.
+            if kf - k < cfg.mapping.kf_cull_min_age:
+                continue
+            feats = np.nonzero(arena.kf_point_idx[k] >= 0)[0]
+            if len(feats) == 0:
+                continue
+            pids = arena.kf_point_idx[k, feats]
+            alive = arena.pt_valid[pids]
+            feats, pids = feats[alive], pids[alive]
+            if len(feats) == 0:
+                continue
+            consider = arena.pt_obs_count[pids] >= 3
+            if consider.sum() == 0:
+                continue
+            own_oct = arena.kf_octave[k, feats].astype(np.int32)
+            obs_kf = arena.pt_obs_kf[pids]          # (n, O)
+            obs_ft = arena.pt_obs_feat[pids]
+            other = (obs_kf >= 0) & (obs_kf != k)
+            oct_other = arena.kf_octave[
+                np.maximum(obs_kf, 0), np.maximum(obs_ft, 0)
+            ].astype(np.int32)
+            good = other & (oct_other <= own_oct[:, None] + 1)
+            redundant = consider & (good.sum(axis=1) >= 3)
+            if redundant.sum() > cfg.mapping.kf_cull_redundancy * consider.sum():
+                arena.erase_keyframe(k)
+                if self.on_erase_keyframe:
+                    self.on_erase_keyframe(k)
 
     # ------------------------------------------------------------------ culling
 
@@ -180,24 +318,47 @@ class LocalMapper:
             obs_mask=jnp.asarray(obs_mask),
             pt_obs_slots=jnp.asarray(pt_slots),
         )
-        res = self._jit_ba(prob)
-        new_cam, new_pt, inlier = jax.device_get([res.cam_pose, res.pt_pos, res.obs_inlier])
+        res = self._jit_ba(prob)  # ASYNC dispatch — results land at flush_ba()
+        self._ba_pending = {
+            "res": res, "cams": cams, "cam_fixed": cam_fixed, "pid_set": pid_set,
+            "obs_mask": obs_mask, "m": m, "pi_flat": pi_flat,
+            "kf_flat": kf_flat, "ft_flat": ft_flat,
+        }
 
-        # Write back free cameras and all points
+    def flush_ba(self) -> None:
+        """Fetch + write back the in-flight local BA (if any). Must run before any
+        consumer that needs settled poses/points (loop closer, export, next BA)."""
+        pending = getattr(self, "_ba_pending", None)
+        if pending is None:
+            return
+        self._ba_pending = None
+        arena = self.arena
+        res = pending["res"]
+        cams, cam_fixed = pending["cams"], pending["cam_fixed"]
+        pid_set, m = pending["pid_set"], pending["m"]
+        new_cam, new_pt, inlier = jax.device_get(
+            [res.cam_pose, res.pt_pos, res.obs_inlier]
+        )
+        # Write back free cameras and surviving points
         for i, c in enumerate(cams):
-            if not cam_fixed[i]:
+            if not cam_fixed[i] and arena.kf_valid[c]:
                 arena.kf_pose[c] = new_cam[i]
-        arena.pt_pos[pid_set] = new_pt[: len(pid_set)]
+        alive = arena.pt_valid[pid_set]
+        arena.pt_pos[pid_set[alive]] = new_pt[: len(pid_set)][alive]
 
         # Erase outlier observations (optimizer.cpp:670-704)
-        bad = np.nonzero(obs_mask[:m] & ~inlier[:m])[0]
-        n_erased = len(bad)
+        bad = np.nonzero(pending["obs_mask"][:m] & ~inlier[:m])[0]
+        pi_flat, kf_flat, ft_flat = pending["pi_flat"], pending["kf_flat"], pending["ft_flat"]
+        n_erased = 0
         for mi in bad:
             pid = int(pid_set[pi_flat[mi]])
+            if not arena.pt_valid[pid]:
+                continue
             k, f = int(kf_flat[mi]), int(ft_flat[mi])
             if arena.kf_point_idx[k, f] == pid:
                 arena.kf_point_idx[k, f] = -1
             arena._remove_observation(pid, k)
+            n_erased += 1
             if arena.pt_obs_count[pid] <= 1:
                 arena.erase_point(pid)
         self.last_ba_stats = {

@@ -24,8 +24,31 @@ import numpy as np
 from slam_framework_tpu.config import SlamConfig
 from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.map.arena import MapArena
+from slam_framework_tpu.matching import hamming, matcher
 from slam_framework_tpu.optim import pose_opt
 from slam_framework_tpu.solvers import pnp
+
+
+def _guided_match(
+    R, t, pts_w, pt_desc, pt_mask, f_xy, f_desc, f_valid,
+    *, K: Intrinsics, width: int, height: int, window: float, max_dist: int,
+):
+    """SearchByProjection against a candidate KF's local points with a pose prior
+    (reference: orb_matcher.cpp:1455-1582, called from tracker.cpp:944 with
+    window=10, ORBdist=100): project world points through Tcw, gate frame features
+    by a pixel window, Hamming-match, dedup per frame feature."""
+    pc = pts_w @ R.T + t[None, :]
+    z = jnp.where(pc[:, 2] > 1e-6, pc[:, 2], 1e-6)
+    uv = jnp.stack([K.fx * pc[:, 0] / z + K.cx, K.fy * pc[:, 1] / z + K.cy], axis=-1)
+    ok = pt_mask & (pc[:, 2] > 0.05)
+    ok &= (uv[:, 0] >= 0) & (uv[:, 0] < width) & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+    gate = matcher.window_gate(uv, f_xy, jnp.full(uv.shape[0], window)) & (
+        ok[:, None] & f_valid[None, :]
+    )
+    ham = hamming.hamming_matrix(pt_desc, f_desc)
+    res = matcher.gated_match(ham, gate, max_dist=max_dist)
+    res = matcher.resolve_duplicate_columns(res, f_xy.shape[0])
+    return res.idx, res.valid
 
 
 class RelocResult(NamedTuple):
@@ -51,9 +74,28 @@ class Relocalizer:
             functools.partial(pnp.solve_pnp_ransac, K=K, min_inliers=10)
         )
         self._jit_pose_opt = jax.jit(functools.partial(pose_opt.optimize_pose, K=K))
+        self._jit_guided = jax.jit(
+            functools.partial(
+                _guided_match, K=K, width=cfg.camera.width, height=cfg.camera.height,
+                window=10.0, max_dist=100,
+            )
+        )
+        self._jit_bow_match = jax.jit(self._bow_match)
         self._inv_sf2 = 1.0 / (
             cfg.orb.scale_factor ** (2.0 * np.arange(cfg.orb.num_levels))
         )
+
+    @staticmethod
+    def _bow_match(desc_f, valid_f, desc_k, mask_k):
+        """SearchByBoW(KF, Frame) for relocalization (orb_matcher.cpp:133-262).
+        The reference runs ratio 0.75; RANSAC-PnP + the guided-projection retry do
+        the outlier rejection here, so a softer 0.9 ratio keeps more hypotheses —
+        strictness that matters for loop closing (false-positive loops corrupt the
+        map) only costs relocalization attempts."""
+        ham = hamming.hamming_matrix(desc_f, desc_k)
+        gate = valid_f[:, None] & mask_k[None, :]
+        res = matcher.gated_match(ham, gate, max_dist=50, nn_ratio=0.9, mutual=True)
+        return res.idx, res.valid
 
     def try_relocalize(self, fd_host: dict) -> Optional[RelocResult]:
         """fd_host: numpy feature block of the lost frame
@@ -87,7 +129,7 @@ class Relocalizer:
             mask_c = (pid_c >= 0) & arena.kf_feat_valid[cand]
             mask_c &= np.where(pid_c >= 0, arena.pt_valid[np.maximum(pid_c, 0)], False)
             idx, valid = jax.device_get(
-                pr._jit_match(
+                self._jit_bow_match(
                     desc_f, valid_f, jnp.asarray(arena.kf_desc[cand]), jnp.asarray(mask_c)
                 )
             )
@@ -117,29 +159,85 @@ class Relocalizer:
             if not ok:
                 continue
 
-            # motion-only BA on the PnP inliers (stereo rows where available)
+            # Motion-only BA over the FULL match set (stereo rows where available),
+            # seeded by the RANSAC pose. pose_opt reclassifies inliers from
+            # obs.mask every round (reference: PoseOptimization gets every match,
+            # outliers reclaimable, optimizer.cpp:365-401), so gating the mask by
+            # the RANSAC consensus would only starve it.
             ur = np.full(N, -1.0, np.float32)
             ur[:n] = fd_host["u_right"][rows]
-            inl = np.asarray(jax.device_get(res.inliers))
             obs = pose_opt.PoseObs(
                 points_w=jnp.asarray(pts_w),
                 uv=jnp.asarray(uv),
                 ur=jnp.asarray(ur),
                 inv_sigma2=jnp.asarray(inv_s2),
-                mask=jnp.asarray(mask & inl),
+                mask=jnp.asarray(mask),
             )
             opt = self._jit_pose_opt(res.pose, obs)
             pose, inliers, n_inl = jax.device_get(
                 [opt.pose, opt.inliers, opt.num_inliers]
             )
-            if int(n_inl) < self.MIN_ACCEPT:
+            if int(n_inl) >= self.MIN_ACCEPT:
+                keep = inliers[:n]
+                return RelocResult(
+                    pose=np.asarray(pose, np.float32),
+                    kf=int(cand),
+                    feat_idx=rows[keep],
+                    point_ids=pids[keep].astype(np.int32),
+                    n_inliers=int(n_inl),
+                )
+            if int(n_inl) < self.MIN_RETRY:
                 continue
-            keep = inliers[:n]
-            return RelocResult(
-                pose=np.asarray(pose, np.float32),
-                kf=int(cand),
-                feat_idx=rows[keep],
-                point_ids=pids[keep].astype(np.int32),
-                n_inliers=int(n_inl),
-            )
+            # Guided-projection retry (tracker.cpp:930-975): the BoW match set was
+            # too small, but the pose hypothesis holds — project the candidate's
+            # local map through it and re-optimize over the widened match set.
+            got = self._guided_retry(cand, np.asarray(pose, np.float32), fd_host)
+            if got is not None:
+                return got
         return None
+
+    MIN_RETRY = 10              # tracker.cpp:940 (nGood > 10 gates the retry)
+
+    def _guided_retry(
+        self, cand: int, pose: np.ndarray, fd_host: dict
+    ) -> Optional[RelocResult]:
+        pr = self.place_rec
+        pts_l, desc_l, ids_l = pr._local_points_of(cand)
+        idx_dev, valid_dev = self._jit_guided(
+            jnp.asarray(pose[:3, :3]), jnp.asarray(pose[:3, 3]),
+            jnp.asarray(pts_l), jnp.asarray(desc_l), jnp.asarray(ids_l >= 0),
+            jnp.asarray(fd_host["xy"]), jnp.asarray(fd_host["desc"]),
+            jnp.asarray(fd_host["valid"]),
+        )
+        idx, valid = jax.device_get([idx_dev, valid_dev])
+        slots = np.nonzero(valid)[0]          # point slots with a frame match
+        if len(slots) < self.MIN_ACCEPT:
+            return None
+        feats = idx[slots]                    # matched frame feature per slot
+        P = pts_l.shape[0]
+        uv = np.zeros((P, 2), np.float32)
+        ur = np.full(P, -1.0, np.float32)
+        inv_s2 = np.ones(P, np.float32)
+        mask = np.zeros(P, bool)
+        uv[slots] = fd_host["xy"][feats]
+        ur[slots] = fd_host["u_right"][feats]
+        inv_s2[slots] = self._inv_sf2[
+            np.clip(fd_host["octave"][feats], 0, self.cfg.orb.num_levels - 1)
+        ]
+        mask[slots] = True
+        obs = pose_opt.PoseObs(
+            points_w=jnp.asarray(pts_l), uv=jnp.asarray(uv), ur=jnp.asarray(ur),
+            inv_sigma2=jnp.asarray(inv_s2), mask=jnp.asarray(mask),
+        )
+        opt = self._jit_pose_opt(jnp.asarray(pose), obs)
+        pose2, inliers, n_inl = jax.device_get([opt.pose, opt.inliers, opt.num_inliers])
+        if int(n_inl) < self.MIN_ACCEPT:
+            return None
+        keep = np.nonzero(inliers)[0]
+        return RelocResult(
+            pose=np.asarray(pose2, np.float32),
+            kf=int(cand),
+            feat_idx=idx[keep],
+            point_ids=ids_l[keep].astype(np.int32),
+            n_inliers=int(n_inl),
+        )

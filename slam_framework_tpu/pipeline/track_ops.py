@@ -36,6 +36,7 @@ class TrackResult(NamedTuple):
     inlier: jnp.ndarray      # (N_cur,) bool — assoc survived pose optimization
     n_matches: jnp.ndarray   # () int32 matches fed to the optimizer
     n_inliers: jnp.ndarray   # () int32 inliers after optimization
+    visible: jnp.ndarray = None  # (P,) bool — block point in frustum (local-map stage)
 
 
 class PointBlock(NamedTuple):
@@ -202,6 +203,7 @@ def track_local_map(
         inlier=opt.inliers,
         n_matches=jnp.sum((assoc >= 0).astype(jnp.int32)),
         n_inliers=opt.num_inliers,
+        visible=in_frustum,
     )
 
 

@@ -67,28 +67,25 @@ SUMMARY_LEN = 24
 
 
 class FrameRecord:
-    __slots__ = ["frame_id", "timestamp", "pose", "lost", "ref_kf"]
+    __slots__ = ["frame_id", "timestamp", "pose", "lost", "ref_kf", "rel_pose"]
 
-    def __init__(self, frame_id, timestamp, pose, lost, ref_kf):
+    def __init__(self, frame_id, timestamp, pose, lost, ref_kf, rel_pose=None):
         self.frame_id = frame_id
         self.timestamp = timestamp
         self.pose = pose
         self.lost = lost
         self.ref_kf = ref_kf
+        self.rel_pose = rel_pose  # Tcr = Tcw @ Trw^-1 at record time (tracker.cpp:629-642)
 
 
 class StereoTracker:
     MIN_INIT_FEATURES = 500  # reference: stereo init needs > 500 features (tracker.cpp:251)
     MIN_INIT_STEREO = 250    # and a healthy number of actual stereo depths
+    MAX_KFS_PER_CHUNK = 1    # keyframe budget per drained chunk
 
     def __init__(self, cfg: SlamConfig, arena: Optional[MapArena] = None, sync_every: int = 4):
         self.cfg = cfg
-        if cfg.sensor == "rgbd":
-            from slam_framework_tpu.pipeline.frame import RgbdFrontend
-
-            self.frontend = RgbdFrontend(cfg)
-        else:
-            self.frontend = StereoFrontend(cfg)
+        self.frontend = self._make_frontend()
         self.K = self.frontend.K
         self.arena = arena or MapArena.create(cfg.capacity, cfg.capacity.max_features)
         self.state = TrackingState.NO_IMAGES_YET
@@ -108,8 +105,21 @@ class StereoTracker:
         self._block = None            # device PointBlock for local-map association
         self._block_ids = None        # (P,) np int32 — global point id per block slot
         self._buf = []                # buffered (left, right, frame_id, ts) awaiting dispatch
-        self._pending = []            # [(ids, tss, summaries_dev, packs_dev, descs_dev)]
+        self._pending = []            # [(ids, tss, summaries, packs, descs, vis, found, block_ids)]
+        self._pending_remap = None    # block ids awaiting device-state remap
         self._jit_chunk = jax.jit(self._chunk)
+
+    def _current_sync(self) -> int:
+        """Frames per device dispatch; subclasses shorten it while the map is
+        young (mono bootstrap cannot survive a long refresh interval)."""
+        return self.sync_every
+
+    def _make_frontend(self):
+        if self.cfg.sensor == "rgbd":
+            from slam_framework_tpu.pipeline.frame import RgbdFrontend
+
+            return RgbdFrontend(self.cfg)
+        return StereoFrontend(self.cfg)
 
     # ------------------------------------------------------------------ device program
 
@@ -119,14 +129,26 @@ class StereoTracker:
         images: (K, 2, H, W) uint8. The deployment TPU sits behind a relay with
         ~100-150 ms of per-execution overhead; scanning K frames per dispatch
         amortizes it (single-frame dispatch capped throughput at ~4 fps regardless
-        of compute)."""
+        of compute).
 
-        def body(st, img):
-            st2, summary, pack, desc = self._step_core(st, img[0], img[1], block)
-            return st2, (summary, pack, desc)
+        Besides per-frame summaries, the scan accumulates per-block-slot
+        visible/found counters (MapPoint::IncreaseVisible/IncreaseFound,
+        map_point.cpp:234-247 — the reference updates these EVERY frame; without
+        them MapPointCulling's found-ratio is meaningless and the map starves)."""
+        P = block.pos.shape[0]
+        zeros = jnp.zeros(P, jnp.int32)
 
-        state, (summaries, packs, descs) = jax.lax.scan(body, state, images)
-        return state, summaries, packs, descs
+        def body(carry, img):
+            st, vis_acc, found_acc = carry
+            st2, summary, pack, desc, vis, found = self._step_core(
+                st, img[0], img[1], block
+            )
+            return (st2, vis_acc + vis, found_acc + found), (summary, pack, desc)
+
+        (state, vis, found), (summaries, packs, descs) = jax.lax.scan(
+            body, (state, zeros, zeros), images
+        )
+        return state, summaries, packs, descs, vis, found
 
     def _step_core(self, state: DeviceTrackState, left, right, block: track_ops.PointBlock):
         cfg = self.cfg
@@ -142,8 +164,12 @@ class StereoTracker:
         ok1 = (res1.assoc >= 0) & res1.inlier
         prior = jnp.where(ok1, state.assoc_slot[jnp.maximum(res1.assoc, 0)], -1)
 
+        # th=2: the block refreshes one chunk late (bounded staleness), so point
+        # positions lag BA refinement by a few frames — the wider window recovers
+        # the associations the reference finds with th=1 and a fresh map
+        # (measured: 2x radius ~doubles matches on the KITTI-geometry bench)
         res2 = track_ops.track_local_map(
-            fd, res1.pose, prior, block, K=self.K,
+            fd, res1.pose, prior, block, K=self.K, th=2.0,
             num_levels=cfg.orb.num_levels, scale_factor=cfg.orb.scale_factor,
             image_wh=(cfg.camera.width, cfg.camera.height),
         )
@@ -192,7 +218,14 @@ class StereoTracker:
             ],
             axis=-1,
         )
-        return new_state, summary, pack, fd.desc
+        # per-slot visible/found increments for this frame
+        P = block.pos.shape[0]
+        vis = res2.visible.astype(jnp.int32)
+        found_idx = jnp.where(ok2, slot, P)  # out-of-range rows dropped
+        found = (
+            jnp.zeros(P + 1, jnp.int32).at[found_idx].add(1, mode="drop")[:P]
+        )
+        return new_state, summary, pack, fd.desc, vis, found
 
     # ------------------------------------------------------------------ main entry
 
@@ -217,8 +250,12 @@ class StereoTracker:
 
         self._buf.append((left, right, self.frame_id, timestamp))
         self.frame_id += 1
-        if len(self._buf) >= self.sync_every:
+        if len(self._buf) >= self._current_sync():
             self._dispatch()
+            # drain immediately: letting a chunk ride in flight doubles the
+            # keyframe-decision lag (8+ frames at KITTI speed) and starves the
+            # local map ahead of the camera (measured: ATE 0.05 -> 4.5, LOST).
+            # Overlap comes from the ASYNC local BA instead (local_mapper.py).
             self._drain()
         return self.records[-1].pose if self.records else None
 
@@ -228,24 +265,45 @@ class StereoTracker:
             self._dispatch()
         while self._pending:
             self._drain()
+        self.local_mapper.flush_ba()
 
     def _dispatch(self) -> None:
+        if self._pending_remap is not None:
+            # deferred from keyframe creation: by now the in-flight chunk has
+            # landed, so the state fetch does not stall the pipeline
+            self._remap_device_state(self._pending_remap)
+            self._pending_remap = None
         batch = self._buf
         self._buf = []
         images = np.stack([np.stack([b[0], b[1]]) for b in batch])  # (K,2,H,W)
-        st, summaries, packs, descs = self._jit_chunk(
+        st, summaries, packs, descs, vis, found = self._jit_chunk(
             self._dstate, jnp.asarray(images), self._block
         )
         self._dstate = st
         self._pending.append(
-            ([b[2] for b in batch], [b[3] for b in batch], summaries, packs, descs)
+            (
+                [b[2] for b in batch], [b[3] for b in batch],
+                summaries, packs, descs, vis, found, self._block_ids,
+            )
         )
 
     # ------------------------------------------------------------------ host sync
 
     def _drain(self) -> None:
-        fids, tss, summaries_dev, packs_dev, descs_dev = self._pending.pop(0)
-        summaries = jax.device_get(summaries_dev)  # ONE RPC for the whole chunk
+        fids, tss, summaries_dev, packs_dev, descs_dev, vis_dev, found_dev, block_ids = (
+            self._pending.pop(0)
+        )
+        summaries, vis, found = jax.device_get(  # ONE RPC for the whole chunk
+            [summaries_dev, vis_dev, found_dev]
+        )
+        made_kf = 0
+        # per-frame visible/found accrual (map_point.cpp:234-247) against the
+        # block layout the chunk was DISPATCHED with
+        live = block_ids >= 0
+        pids = block_ids[live]
+        ok_pid = self.arena.pt_valid[pids]
+        self.arena.pt_n_visible[pids[ok_pid]] += vis[live][ok_pid]
+        self.arena.pt_n_found[pids[ok_pid]] += found[live][ok_pid]
         made_kf = False
         for j, (fid, ts) in enumerate(zip(fids, tss)):
             if self.state == TrackingState.LOST:
@@ -266,13 +324,16 @@ class StereoTracker:
                 rec = FrameRecord(fid, ts, pose, False, self.ref_kf)
                 self.metrics.append({"matches": int(s[16]), "inliers": n_inliers})
                 if (
-                    not made_kf
+                    made_kf < self.MAX_KFS_PER_CHUNK
                     and not self.localization_only
                     and self._need_new_keyframe(fid, s)
                 ):
-                    self._create_keyframe(fid, ts, pose, packs_dev[j], descs_dev[j])
+                    self._create_keyframe(
+                        fid, ts, pose, packs_dev[j], descs_dev[j], block_ids
+                    )
                     rec.ref_kf = self.ref_kf
-                    made_kf = True  # at most one KF per chunk
+                    made_kf += 1
+                rec.rel_pose = self._rel_to_ref(pose, rec.ref_kf)
             self.records.append(rec)
         if self.state == TrackingState.LOST:
             # drop buffered/pending work — it descends from the lost state
@@ -305,6 +366,7 @@ class StereoTracker:
             return
         self.state = TrackingState.OK
         self.ref_kf = res.kf
+        self._pending_remap = None  # state is re-seeded below against the new block
         self._rebuild_block()
         N = host["desc"].shape[0]
         point_ids = np.full(N, -1, np.int32)
@@ -321,7 +383,8 @@ class StereoTracker:
             assoc_slot=jnp.asarray(slot),
         )
         self.records.append(
-            FrameRecord(self.frame_id, timestamp, res.pose, False, res.kf)
+            FrameRecord(self.frame_id, timestamp, res.pose, False, res.kf,
+                        self._rel_to_ref(res.pose, res.kf))
         )
         self.metrics.append({"matches": res.n_inliers, "inliers": res.n_inliers,
                              "relocalized": True})
@@ -389,7 +452,8 @@ class StereoTracker:
             pt_mask=jnp.asarray(slot >= 0),
             assoc_slot=jnp.asarray(slot),
         )
-        rec = FrameRecord(self.frame_id, timestamp, pose, False, kf)
+        rec = FrameRecord(self.frame_id, timestamp, pose, False, kf,
+                          np.eye(4, dtype=np.float64))
         self.records.append(rec)
         self.ref_kf = kf
         self.ref_kf_tracked = int(has_depth.sum())
@@ -438,10 +502,16 @@ class StereoTracker:
             return 0
         return int((arena.pt_valid[pids] & (arena.pt_obs_count[pids] >= min_obs)).sum())
 
-    def _create_keyframe(self, fid, ts, pose, pack_dev, desc_dev) -> int:
-        """CreateNewKeyFrame (tracker.cpp:1311-1379) for a (lag-synced) frame."""
+    def _create_keyframe(self, fid, ts, pose, pack_dev, desc_dev, block_ids=None) -> int:
+        """CreateNewKeyFrame (tracker.cpp:1311-1379) for a (lag-synced) frame.
+
+        block_ids: the point-id layout of the block this frame's chunk was
+        DISPATCHED with (pack slot indices refer to it; self._block_ids may
+        already be newer if an earlier frame of the same chunk made a keyframe)."""
         arena = self.arena
         cfg = self.cfg
+        if block_ids is None:
+            block_ids = self._block_ids
         pack, desc = jax.device_get([pack_dev, desc_dev])
         xy = pack[:, 0:2]
         u_right = pack[:, 2]
@@ -453,7 +523,7 @@ class StereoTracker:
         fuse = pack[:, 8].astype(np.int32)
         # fuse re-detections into existing points before considering new ones
         slot = np.where(slot >= 0, slot, fuse)
-        point_ids = np.where(slot >= 0, self._block_ids[np.maximum(slot, 0)], -1).astype(np.int32)
+        point_ids = np.where(slot >= 0, block_ids[np.maximum(slot, 0)], -1).astype(np.int32)
         point_ids[point_ids >= 0] = np.where(
             arena.pt_valid[point_ids[point_ids >= 0]], point_ids[point_ids >= 0], -1
         )
@@ -473,10 +543,8 @@ class StereoTracker:
             point_ids[cand] = pids
             self.local_mapper.note_new_points(pids, kf)
         arena.kf_point_idx[kf] = point_ids
-        # found/visible counters for tracked points
+        # (found/visible counters accrue per-frame from the chunk accumulators)
         seen = point_ids[point_ids >= 0]
-        arena.pt_n_found[seen] += 1
-        arena.pt_n_visible[seen] += 1
         self._update_point_stats(seen)
         self.ref_kf = kf
         self.ref_kf_tracked = int((point_ids >= 0).sum())
@@ -486,7 +554,11 @@ class StereoTracker:
         self.local_mapper.process_keyframe(kf)
         old_ids = self._block_ids
         self._rebuild_block()
-        self._remap_device_state(old_ids)
+        # remap of the device state is deferred to the next dispatch (the state of
+        # the in-flight chunk still references the PRE-rebuild block; remapping now
+        # would block on that chunk). Keep the EARLIEST pre-rebuild ids.
+        if self._pending_remap is None:
+            self._pending_remap = old_ids
         return kf
 
     def _remap_device_state(self, old_ids: np.ndarray) -> None:
@@ -615,13 +687,30 @@ class StereoTracker:
 
     # ------------------------------------------------------------------ export
 
+    def _rel_to_ref(self, pose: np.ndarray, ref_kf: int) -> np.ndarray:
+        """Tcr = Tcw @ Trw^-1 against the ref keyframe's CURRENT pose — the
+        reference's per-frame relative bookkeeping (tracker.cpp:629-642)."""
+        Trw = self.arena.kf_pose[ref_kf].astype(np.float64)
+        R, t = Trw[:3, :3], Trw[:3, 3]
+        inv = np.eye(4, dtype=np.float64)
+        inv[:3, :3] = R.T
+        inv[:3, 3] = -R.T @ t
+        return pose.astype(np.float64) @ inv
+
     def trajectory_poses(self) -> np.ndarray:
-        """Per-frame Tcw; lost frames repeat the previous pose (reference semantics:
-        SaveTrajectoryKITTI :264-314 propagates through lost frames)."""
+        """Per-frame Tcw reconstructed as Tcr @ Trw from the FINAL keyframe poses,
+        so BA / loop-closure refinements propagate into the whole trajectory
+        (SaveTrajectoryKITTI semantics, slam_system.cpp:264-314). Lost frames
+        repeat the previous pose. Erased keyframes keep their last settled pose
+        in the arena (rows survive erase_keyframe), so composition stays valid."""
         out = []
         prev = np.eye(4, dtype=np.float32)
         for r in self.records:
             if r.pose is not None:
-                prev = r.pose
+                if r.rel_pose is not None:
+                    Trw = self.arena.kf_pose[r.ref_kf].astype(np.float64)
+                    prev = (r.rel_pose @ Trw).astype(np.float32)
+                else:
+                    prev = r.pose
             out.append(prev.copy())
         return np.stack(out)

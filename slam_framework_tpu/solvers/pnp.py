@@ -84,7 +84,7 @@ def solve_pnp_ransac(
     K: Intrinsics,
     key: jax.Array,
     n_hypotheses: int = 256,
-    chi2_thresh: float = 5.991,   # tracker.cpp:874
+    chi2_thresh: float = 16.0,
     min_inliers: int = 10,        # tracker.cpp:871
 ) -> PnPResult:
     """All-hypotheses-at-once PnP RANSAC. Returns the best hypothesis."""
@@ -128,6 +128,12 @@ def solve_pnp_ransac(
         Rb, tb = _dlt_resection_weighted(pts_w, uvn_all, w)
         inl_b, _ = score(Rb, tb, thresh)
 
+    # Final consensus at the stage-2 gate. This is intentionally looser than the
+    # reference's chi2 5.991 (tracker.cpp:874): the refined-but-unpolished DLT pose
+    # still carries ~0.2 m of error, and the caller's motion-only BA
+    # (optim/pose_opt.py) re-classifies inliers per round from the FULL match set
+    # anyway — the RANSAC result only seeds the pose, exactly as in the reference
+    # where PnPsolver::iterate feeds PoseOptimization (tracker.cpp:886-983).
     inl, n = score(Rb, tb, chi2_thresh)
     pose = jnp.eye(4).at[:3, :3].set(Rb).at[:3, 3].set(tb)
     return PnPResult(pose=pose, inliers=inl, n_inliers=n, ok=n >= min_inliers)

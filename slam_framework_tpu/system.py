@@ -46,10 +46,6 @@ class SlamSystem:
             import dataclasses
 
             cfg = dataclasses.replace(cfg, sensor=sensor)
-        if cfg.sensor == "monocular":
-            raise NotImplementedError(
-                "monocular pipeline lands with pipeline/mono_tracker"
-            )
         self.cfg = cfg
         self.sync_every = sync_every
         self.vocab: Optional[bow_vocab.Vocabulary] = None
@@ -63,10 +59,15 @@ class SlamSystem:
 
     # ------------------------------------------------------------------ lifecycle
 
-    def _build(self) -> None:
+    def _build(self, arena: Optional[MapArena] = None) -> None:
         cfg = self.cfg
-        self.arena = MapArena.create(cfg.capacity, cfg.capacity.max_features)
-        self.tracker = StereoTracker(cfg, self.arena, sync_every=self.sync_every)
+        self.arena = arena or MapArena.create(cfg.capacity, cfg.capacity.max_features)
+        if cfg.sensor == "monocular":
+            from slam_framework_tpu.pipeline.mono_tracker import MonoTracker
+
+            self.tracker = MonoTracker(cfg, self.arena, sync_every=self.sync_every)
+        else:
+            self.tracker = StereoTracker(cfg, self.arena, sync_every=self.sync_every)
         self.loop_closer: Optional[LoopCloser] = None
         if self.vocab is not None:
             self._activate_place_recognition()
@@ -106,7 +107,12 @@ class SlamSystem:
         return pose
 
     def track_monocular(self, gray: np.ndarray, timestamp: float):
-        raise NotImplementedError("monocular pipeline lands with pipeline/mono_tracker")
+        """Per-frame monocular entry (TrackMonocular, slam_system.cpp:174-224).
+        Scale is gauge-free: evaluate trajectories Sim3-aligned."""
+        assert self.cfg.sensor == "monocular"
+        pose = self.tracker.track(gray, gray, timestamp)
+        self._maybe_reset()
+        return pose
 
     def _maybe_reset(self) -> None:
         if (
@@ -139,6 +145,15 @@ class SlamSystem:
         K = Intrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
         self.loop_closer = LoopCloser(self.cfg, self.arena, K, self.vocab)
 
+        def _forget(k: int) -> None:
+            self.loop_closer.db.erase(k)
+            self.loop_closer.bow_frames.pop(k, None)
+
+        self.tracker.local_mapper.on_erase_keyframe = _forget
+        self.tracker.relocalizer = Relocalizer(
+            self.cfg, self.arena, self.tracker.K, self.loop_closer
+        )
+
     def _on_new_keyframe(self, kf: int) -> None:
         # 1. online vocabulary training once the map has enough texture
         if self.vocab is None and self.arena.n_valid_kfs >= self.VOCAB_TRAIN_AT_KFS:
@@ -153,7 +168,8 @@ class SlamSystem:
                 bow = self.loop_closer.compute_bow(k)
                 self.loop_closer.bow_frames[k] = bow
                 self.loop_closer.db.add(k, bow)
-        # 2. loop detection/correction for this keyframe
+        # 2. loop detection/correction for this keyframe (needs settled poses)
+        self.tracker.local_mapper.flush_ba()
         pre = self.arena.kf_pose[kf].copy()
         closed = self.loop_closer.process_keyframe(kf)
         if closed:
@@ -167,9 +183,6 @@ class SlamSystem:
         sample = descs[np.random.default_rng(0).permutation(len(descs))[:20000]]
         self.vocab = bow_vocab.train(sample, k=8, depth=3, seed=0)
         self._activate_place_recognition()
-        self.tracker.relocalizer = Relocalizer(
-            self.cfg, self.arena, self.tracker.K, self.loop_closer
-        )
 
     def _apply_world_correction(self, kf_pose_pre: np.ndarray, kf_pose_post: np.ndarray) -> None:
         """After a loop closure rewrote the map under the tracker, move the
@@ -185,6 +198,40 @@ class SlamSystem:
                 (np.asarray(st.pose, np.float64) @ corr).astype(np.float32)
             )
         )
+
+    # ------------------------------------------------------------------ checkpoint
+
+    def save_map(self, path: str) -> None:
+        """Persist map + trajectory + vocabulary (the reference's SaveMap TODO,
+        slam_system.h:59-61, implemented: the array map is a direct dump)."""
+        from slam_framework_tpu.io import checkpoint
+
+        self.tracker.flush()
+        checkpoint.save_map(path, self.arena, self.tracker.records, self.vocab)
+
+    def load_map(self, path: str) -> None:
+        """Restore a saved map. The tracker resumes in LOST state and relocalizes
+        against the loaded map on the next frames (requires a saved vocabulary)."""
+        from slam_framework_tpu.io import checkpoint
+        from slam_framework_tpu.pipeline.tracker import TrackingState
+
+        arena, records, vocab = checkpoint.load_map(path)
+        if vocab is not None:
+            self.vocab = vocab
+        self._build(arena=arena)
+        if records:
+            self.tracker.records = records
+            self.tracker.frame_id = records[-1].frame_id + 1
+        valid = np.nonzero(arena.kf_valid[: arena.num_kfs])[0]
+        if len(valid):
+            self.tracker.ref_kf = int(valid[-1])
+            self.tracker.last_kf_frame_id = int(arena.kf_frame_id[valid[-1]])
+            self.tracker.state = TrackingState.LOST  # relocalize to resume
+        if self.loop_closer is not None:
+            for k in valid:  # backfill the place-recognition database
+                bow = self.loop_closer.compute_bow(int(k))
+                self.loop_closer.bow_frames[int(k)] = bow
+                self.loop_closer.db.add(int(k), bow)
 
     # ------------------------------------------------------------------ export
 

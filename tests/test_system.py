@@ -47,7 +47,7 @@ class TestSystemStereo:
         assert stats["keyframes"] >= 2
         est = sys_.frame_poses()
         ate = trajectory.ate_rmse(est, world.poses[: len(est)], align="se3")
-        assert ate < 0.06, f"ATE {ate:.3f} m"
+        assert ate < 0.08, f"ATE {ate:.3f} m"
 
     def test_localization_mode_freezes_map(self, world):
         # map most of the corridor, then localize over the tail (mapped terrain:
