@@ -187,6 +187,45 @@ class MapArena:
         self.num_pts = p + 1
         return p
 
+    def add_points(
+        self,
+        pos: np.ndarray,       # (n, 3)
+        desc: np.ndarray,      # (n, 8) uint32
+        first_kf: int,
+        normal: np.ndarray,    # (n, 3)
+        min_dist: np.ndarray,  # (n,)
+        max_dist: np.ndarray,  # (n,)
+    ) -> np.ndarray:
+        """Vectorized add_point: allocates n consecutive slots, returns (n,) pids."""
+        n = len(pos)
+        p = self.num_pts
+        if p + n > self.cap.max_map_points:
+            raise RuntimeError("map-point arena full — raise CapacityConfig.max_map_points")
+        sl = slice(p, p + n)
+        self.pt_pos[sl] = pos
+        self.pt_valid[sl] = True
+        self.pt_desc[sl] = desc
+        self.pt_normal[sl] = normal
+        self.pt_min_dist[sl] = min_dist
+        self.pt_max_dist[sl] = max_dist
+        self.pt_first_kf[sl] = first_kf
+        self.pt_n_visible[sl] = 1
+        self.pt_n_found[sl] = 1
+        self.num_pts = p + n
+        return np.arange(p, p + n, dtype=np.int32)
+
+    def associate_batch(self, kfs: np.ndarray, feats: np.ndarray, pids: np.ndarray) -> None:
+        """Vectorized associate() for DISTINCT pids (each pid at most once per call):
+        binds kf feature -> point and appends one observation per row."""
+        kfs = np.broadcast_to(np.asarray(kfs), pids.shape)
+        feats = np.asarray(feats)
+        self.kf_point_idx[kfs, feats] = pids
+        counts = self.pt_obs_count[pids]
+        ok = counts < self.cap.max_obs_per_point
+        self.pt_obs_kf[pids[ok], counts[ok]] = kfs[ok]
+        self.pt_obs_feat[pids[ok], counts[ok]] = feats[ok]
+        self.pt_obs_count[pids[ok]] = counts[ok] + 1
+
     def erase_point(self, pid: int) -> None:
         """MapPoint::SetBadFlag equivalent: detach from all keyframes, mark invalid."""
         for s in range(int(self.pt_obs_count[pid])):

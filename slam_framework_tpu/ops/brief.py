@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,11 +32,45 @@ def pattern():
     return np.load(_PATTERN_PATH)
 
 
+def _einsum_nbk(samples: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """einsum('nbk,nb->nk') as a batched dot so it hits the MXU."""
+    return jax.lax.dot_general(
+        onehot[:, None, :], samples, (((2,), (1,)), ((0,), (0,)))
+    )[:, 0, :]
+
+
 @functools.lru_cache(maxsize=1)
 def _pattern_cols():
     # numpy, not jnp: jnp constants made under a jit trace would leak via the cache
     p = pattern().astype(np.float32)
     return p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+
+
+ROTATION_BINS = 64  # 5.6 deg angle quantization (the original ORB paper uses 30)
+
+
+@functools.lru_cache(maxsize=8)
+def _binned_flat_idx(bins: int, side: int, pad: int):
+    """(bins, 512) int32 flat within-window sample indices for each quantized
+    rotation: [256 'a' samples | 256 'b' samples]. Precomputing the rotated
+    pattern per angle bin (original ORB formulation) turns the per-keypoint
+    rotated sampling into STATIC gathers the compiler lowers to slices.
+
+    numpy, not jnp: cached constants must not capture tracers."""
+    p = pattern().astype(np.float64)
+    xa, ya, xb, yb = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    tables = []
+    for b in range(bins):
+        th = 2.0 * np.pi * b / bins
+        ca, sa = np.cos(th), np.sin(th)
+
+        def flat(px, py):
+            rx = np.round(px * ca - py * sa).astype(np.int64)
+            ry = np.round(px * sa + py * ca).astype(np.int64)
+            return (ry + pad) * side + (rx + pad)
+
+        tables.append(np.concatenate([flat(xa, ya), flat(xb, yb)]))
+    return np.stack(tables).astype(np.int32)
 
 
 def brief_descriptors(img_blur: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
@@ -45,28 +80,36 @@ def brief_descriptors(img_blur: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarra
     xy: (N, 2) int32 keypoint coords in level pixels.
     angles: (N,) fp32 orientation in radians.
     """
-    h, w = img_blur.shape
     pad = MAX_ROTATED_OFFSET
-    padded = jnp.pad(img_blur, pad, mode="edge")
+    side = 2 * pad + 2  # 40 — even side keeps the window layout lane-aligned
+    N = xy.shape[0]
 
-    xa, ya, xb, yb = (jnp.asarray(c) for c in _pattern_cols())
-    ca = jnp.cos(angles)[:, None]
-    sa = jnp.sin(angles)[:, None]
+    # Three-stage sampling, all TPU-friendly:
+    #  1. one CONTIGUOUS (side, side) window per keypoint (a dynamic-slice gather
+    #     XLA executes at near-copy speed);
+    #  2. the rotation is quantized to ROTATION_BINS precomputed patterns
+    #     (original-ORB formulation), so each bin's 512 samples are a STATIC
+    #     column selection of the window — no data-dependent gather;
+    #  3. a one-hot matmul picks each keypoint's bin.
+    # A direct data-dependent (N, 512) gather from the full image costs ~12 ms
+    # per frame on TPU; this form is ~20x cheaper.
+    padded = jnp.pad(img_blur, pad + 1, mode="edge")
 
-    # Rotated integer offsets, same rounding as the reference's cvRound.
-    def rot(px, py):
-        rx = jnp.round(px[None, :] * ca - py[None, :] * sa).astype(jnp.int32)
-        ry = jnp.round(px[None, :] * sa + py[None, :] * ca).astype(jnp.int32)
-        return rx, ry
+    def window(p):
+        # keypoint (x, y) sits at padded (y + pad + 1, x + pad + 1); offsets span
+        # [-pad, pad] so the window starts at (y + 1, x + 1)
+        return jax.lax.dynamic_slice(padded, (p[1] + 1, p[0] + 1), (side, side))
 
-    rxa, rya = rot(xa, ya)  # (N, 256)
-    rxb, ryb = rot(xb, yb)
+    flat = jax.vmap(window)(xy).reshape(N, side * side)  # (N, side^2)
 
-    x0 = xy[:, 0:1] + pad
-    y0 = xy[:, 1:2] + pad
-    ia = padded[y0 + rya, x0 + rxa]  # (N, 256) gather
-    ib = padded[y0 + ryb, x0 + rxb]
-    bits = (ia < ib).astype(jnp.uint32)  # (N, 256)
+    B = ROTATION_BINS
+    tau = 2.0 * np.pi
+    binf = jnp.round(jnp.mod(angles, tau) * (B / tau)).astype(jnp.int32) % B
+    idx = _binned_flat_idx(B, side, pad)                  # (B, 512) static numpy
+    samples = flat[:, jnp.asarray(idx)]                   # (N, B, 512) static gather
+    onehot = jax.nn.one_hot(binf, B, dtype=samples.dtype)  # (N, B)
+    sel = _einsum_nbk(samples, onehot)                    # (N, 512)
+    bits = (sel[:, :256] < sel[:, 256:]).astype(jnp.uint32)  # (N, 256)
 
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     words = jnp.sum(bits.reshape(-1, 8, 32) * weights, axis=-1, dtype=jnp.uint32)

@@ -63,20 +63,28 @@ class OrbExtractor:
         cfg = self.cfg
         img = img.astype(jnp.float32)
         levels = pyramid.build_pyramid(img, cfg.num_levels, cfg.scale_factor)
+        return self._extract_from_pyramid(levels)
+
+    def _extract_from_pyramid(self, levels) -> Features:
+        """Extract from a prebuilt fp32 pyramid (lets the caller share the pyramid
+        with stereo matching instead of building it twice)."""
+        cfg = self.cfg
 
         per_level_feats = []
         for lvl, lvl_img in enumerate(levels):
             n_lvl = self.per_level[lvl]
             if n_lvl <= 0:
                 continue
-            score_hi = fast.mask_border(
-                fast.nms3x3(fast.fast_score_map(lvl_img, float(cfg.ini_thresh_fast))),
-                DETECT_MARGIN,
+            # ONE strength map + ONE NMS serves both FAST thresholds: suppression
+            # only ever comes from a strictly stronger neighbor, which passes every
+            # threshold the suppressed pixel passes, so NMS commutes with the
+            # threshold cut (reference runs cv::FAST twice per cell,
+            # orb_extractor.cpp:750-757).
+            strength = fast.mask_border(
+                fast.nms3x3(fast.fast_strength_map(lvl_img)), DETECT_MARGIN
             )
-            score_lo = fast.mask_border(
-                fast.nms3x3(fast.fast_score_map(lvl_img, float(cfg.min_thresh_fast))),
-                DETECT_MARGIN,
-            )
+            score_hi = jnp.where(strength > float(cfg.ini_thresh_fast), strength, 0.0)
+            score_lo = jnp.where(strength > float(cfg.min_thresh_fast), strength, 0.0)
             sel = select.select_uniform(score_hi, score_lo, n_lvl, cell=cfg.fast_cell_size)
 
             angles = orient.ic_angles(lvl_img, sel.xy)

@@ -34,27 +34,39 @@ def _shifted(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return padded[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w]
 
 
+def fast_strength_map(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense, threshold-free FAST-9 corner-strength map.
+
+    img: (H, W) fp32. Returns (H, W) fp32 strength: the largest threshold t for which
+    the pixel is still a FAST-9 corner (max over 9-arcs of min over the arc of the
+    signed diff, bright and dark branches). A pixel is a corner at threshold t iff
+    strength > t, so one strength map serves BOTH the reference's 20 and 7 thresholds
+    (orb_extractor.cpp:750-757) — threshold commutes with NMS because a suppressing
+    neighbor is always stronger than the pixel it suppresses.
+    """
+    diffs = jnp.stack([_shifted(img, dy, dx) for dy, dx in CIRCLE], axis=0) - img[None]
+    # (16, H, W)
+
+    def arc_strength(d):
+        # Sliding circular window-min of width 9 in log steps: 4 elementwise mins
+        # over (16, H, W) instead of 16 stacked 9-element reductions.
+        m2 = jnp.minimum(d, jnp.roll(d, -1, axis=0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
+        m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))
+        m9 = jnp.minimum(m8, jnp.roll(d, -8, axis=0))
+        return jnp.max(m9, axis=0)
+
+    bright = arc_strength(diffs)
+    dark = arc_strength(-diffs)
+    return jnp.maximum(bright, dark)
+
+
 def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Dense FAST-9 corner-strength map. 0 where not a corner at `threshold`.
 
     img: (H, W) fp32. Returns (H, W) fp32 score map (strength > threshold where corner).
     """
-    diffs = jnp.stack([_shifted(img, dy, dx) for dy, dx in CIRCLE], axis=0) - img[None]
-    # (16, H, W)
-    # Strength of the bright test: max over arc starts of min over the 9-arc of diff.
-    # A pixel is a bright corner at threshold t iff bright_strength > t.
-    def arc_strength(d):
-        # d: (16, H, W) signed diffs; strength for "all of arc > t" test.
-        mins = []
-        for start in range(16):
-            idx = [(start + k) % 16 for k in range(ARC_LEN)]
-            arc = d[jnp.asarray(idx)]
-            mins.append(jnp.min(arc, axis=0))
-        return jnp.max(jnp.stack(mins, axis=0), axis=0)
-
-    bright = arc_strength(diffs)
-    dark = arc_strength(-diffs)
-    strength = jnp.maximum(bright, dark)
+    strength = fast_strength_map(img)
     return jnp.where(strength > threshold, strength, 0.0)
 
 

@@ -23,6 +23,7 @@ from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.matching import hamming, matcher
@@ -71,63 +72,79 @@ def match_stereo(
     safe_j = jnp.where(res.valid, res.idx, 0)
     ur0 = right.xy[safe_j, 0]  # level-0 coords of best right match
 
-    # --- Subpixel SAD per pyramid level (masked) ---
+    # --- Subpixel SAD from a pyramid ATLAS (all levels stacked vertically) ---
+    # A per-level pass would gather windows for ALL N keypoints at EVERY level
+    # (8x the data); stacking the levels into one tall image lets each keypoint
+    # gather exactly one (11, 11) + (11, 21) window from its own level.
+    # Keypoints whose window would cross a level edge are masked out instead of
+    # padded — same semantics as the reference's bounds 'continue'
+    # (frame.cpp:505-515 area).
     num_levels = len(left_pyr)
-    best_ur = jnp.where(res.valid, ur0, -1.0)
-    inc_total = jnp.zeros_like(ur0)
-    sad_best = jnp.full(ur0.shape, jnp.inf, jnp.float32)
-    sad_valid = jnp.zeros(ur0.shape, bool)
-
     W, Lr = SAD_W, SAD_L
-    for lvl in range(num_levels):
-        in_lvl = res.valid & (left.octave == lvl)
-        inv_s = 1.0 / float(scale_factors[lvl])
-        # level coords
-        xl = jnp.round(left.xy[:, 0] * inv_s).astype(jnp.int32)
-        yl = jnp.round(left.xy[:, 1] * inv_s).astype(jnp.int32)
-        xr = jnp.round(ur0 * inv_s).astype(jnp.int32)
+    W0 = left_pyr[0].shape[1]
+    row_off_np = np.cumsum([0] + [lp_.shape[0] for lp_ in left_pyr[:-1]])
+    atlas_l = jnp.concatenate(
+        [jnp.pad(lp_, ((0, 0), (0, W0 - lp_.shape[1]))) for lp_ in left_pyr], axis=0
+    )
+    atlas_r = jnp.concatenate(
+        [jnp.pad(rp_, ((0, 0), (0, W0 - rp_.shape[1]))) for rp_ in right_pyr], axis=0
+    )
+    row_off = jnp.asarray(row_off_np, jnp.int32)
+    lvl_h = jnp.asarray([lp_.shape[0] for lp_ in left_pyr], jnp.int32)
+    lvl_w = jnp.asarray([lp_.shape[1] for lp_ in left_pyr], jnp.int32)
 
-        pad = W + Lr + 1
-        lp = jnp.pad(left_pyr[lvl], pad, mode="edge")
-        rp = jnp.pad(right_pyr[lvl], pad, mode="edge")
+    inv_s = 1.0 / scale_l
+    xl = jnp.round(left.xy[:, 0] * inv_s).astype(jnp.int32)
+    yl = jnp.round(left.xy[:, 1] * inv_s).astype(jnp.int32)
+    xr = jnp.round(ur0 * inv_s).astype(jnp.int32)
 
-        def left_window(x, y):
-            return jax.lax.dynamic_slice(lp, (y + pad - W, x + pad - W), (2 * W + 1, 2 * W + 1))
+    oct_ = left.octave
+    h_l, w_l = lvl_h[oct_], lvl_w[oct_]
+    in_bounds = (
+        (xl >= W) & (xl <= w_l - 1 - W)
+        & (yl >= W) & (yl <= h_l - 1 - W)
+        & (xr >= W + Lr) & (xr <= w_l - 1 - W - Lr)
+    )
+    sad_on = res.valid & in_bounds
+    y_at = jnp.clip(yl + row_off[oct_], W, atlas_l.shape[0] - 1 - W)
+    xl_c = jnp.clip(xl, W, W0 - 1 - W)
+    xr_c = jnp.clip(xr, W + Lr, W0 - 1 - W - Lr)
 
-        def right_strip(x, y):
-            return jax.lax.dynamic_slice(
-                rp, (y + pad - W, x + pad - W - Lr), (2 * W + 1, 2 * W + 1 + 2 * Lr)
-            )
+    def left_window(x, y):
+        return jax.lax.dynamic_slice(atlas_l, (y - W, x - W), (2 * W + 1, 2 * W + 1))
 
-        lw = jax.vmap(left_window)(jnp.where(in_lvl, xl, 0), jnp.where(in_lvl, yl, 0))
-        rs = jax.vmap(right_strip)(jnp.where(in_lvl, xr, 0), jnp.where(in_lvl, yl, 0))
-        # Center-intensity normalization (frame.cpp:502, :517)
-        lw = lw - lw[:, W : W + 1, W : W + 1]
-        # SAD for each of the 2L+1 shifts
-        sads = []
-        for s in range(2 * Lr + 1):
-            rw = rs[:, :, s : s + 2 * W + 1]
-            rw = rw - rw[:, W : W + 1, W : W + 1]
-            sads.append(jnp.sum(jnp.abs(lw - rw), axis=(1, 2)))
-        sads = jnp.stack(sads, axis=1)  # (N, 2L+1)
-        best_s = jnp.argmin(sads, axis=1)
-        best_v = jnp.min(sads, axis=1)
-        # Parabola fit needs interior optimum (frame.cpp:528-534)
-        interior = (best_s > 0) & (best_s < 2 * Lr)
-        sm1 = jnp.take_along_axis(sads, jnp.maximum(best_s - 1, 0)[:, None], axis=1)[:, 0]
-        sp1 = jnp.take_along_axis(sads, jnp.minimum(best_s + 1, 2 * Lr)[:, None], axis=1)[:, 0]
-        denom = jnp.maximum(2.0 * (sm1 + sp1 - 2.0 * best_v), 1e-6)
-        delta = (sm1 - sp1) / denom
-        delta = jnp.clip(delta, -1.0, 1.0)
-        ur_lvl = (xr.astype(jnp.float32) + (best_s - Lr).astype(jnp.float32) + delta) * float(
-            scale_factors[lvl]
+    def right_strip(x, y):
+        return jax.lax.dynamic_slice(
+            atlas_r, (y - W, x - W - Lr), (2 * W + 1, 2 * W + 1 + 2 * Lr)
         )
-        use = in_lvl & interior
-        best_ur = jnp.where(use, ur_lvl, best_ur)
-        sad_best = jnp.where(in_lvl, best_v, sad_best)
-        sad_valid = sad_valid | use
 
-    matched = res.valid & sad_valid
+    lw = jax.vmap(left_window)(xl_c, y_at)
+    rs = jax.vmap(right_strip)(xr_c, y_at)
+    # Center-intensity normalization (frame.cpp:502, :517)
+    lw = lw - lw[:, W : W + 1, W : W + 1]
+    # SAD for each of the 2L+1 shifts
+    sads = []
+    for s in range(2 * Lr + 1):
+        rw = rs[:, :, s : s + 2 * W + 1]
+        rw = rw - rw[:, W : W + 1, W : W + 1]
+        sads.append(jnp.sum(jnp.abs(lw - rw), axis=(1, 2)))
+    sads = jnp.stack(sads, axis=1)  # (N, 2L+1)
+    best_s = jnp.argmin(sads, axis=1)
+    best_v = jnp.min(sads, axis=1)
+    # Parabola fit needs interior optimum (frame.cpp:528-534)
+    interior = (best_s > 0) & (best_s < 2 * Lr)
+    sm1 = jnp.take_along_axis(sads, jnp.maximum(best_s - 1, 0)[:, None], axis=1)[:, 0]
+    sp1 = jnp.take_along_axis(sads, jnp.minimum(best_s + 1, 2 * Lr)[:, None], axis=1)[:, 0]
+    denom = jnp.maximum(2.0 * (sm1 + sp1 - 2.0 * best_v), 1e-6)
+    delta = (sm1 - sp1) / denom
+    delta = jnp.clip(delta, -1.0, 1.0)
+    ur_sub = (xr.astype(jnp.float32) + (best_s - Lr).astype(jnp.float32) + delta) * scale_l
+
+    use = sad_on & interior
+    best_ur = jnp.where(use, ur_sub, -1.0)
+    sad_best = jnp.where(sad_on, best_v, jnp.inf)
+
+    matched = res.valid & use
     disparity = left.xy[:, 0] - best_ur
     matched &= (disparity >= min_disp) & (disparity < max_disp)
     # Reference also nudges disparity<=0 to 0.01 (:552); emulate by clamping tiny disp.

@@ -53,14 +53,17 @@ class StereoFrontend:
 
     def _process(self, left: jnp.ndarray, right: jnp.ndarray) -> FrameData:
         cfg = self.cfg
-        fl: Features = self.extractor._extract(left)
-        fr: Features = self.extractor._extract(right)
+        # ONE pyramid per image, shared between extraction and stereo matching
+        # (the reference's parallel L/R extraction, frame.cpp:86-89, rebuilds
+        # nothing either — each thread owns its pyramid).
         lp = pyramid.build_pyramid(
             left.astype(jnp.float32), cfg.orb.num_levels, cfg.orb.scale_factor
         )
         rp = pyramid.build_pyramid(
             right.astype(jnp.float32), cfg.orb.num_levels, cfg.orb.scale_factor
         )
+        fl: Features = self.extractor._extract_from_pyramid(lp)
+        fr: Features = self.extractor._extract_from_pyramid(rp)
         sm = stereo_match.match_stereo(fl, fr, lp, rp, self.K, self.extractor.scales)
         return FrameData(
             xy=fl.xy,

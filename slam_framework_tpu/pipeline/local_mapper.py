@@ -66,10 +66,22 @@ class LocalMapper:
         runs the same BA on a separate thread with the tracker proceeding on
         bounded-stale map state (SURVEY.md §2.3). Callers that need settled poses
         (loop closer, export) call flush_ba() first."""
+        # Stereo/RGB-D: dispatch triangulation FIRST (async) so its device
+        # compute overlaps the blocking flush_ba round-trip; it triangulates from
+        # poses one local-BA step stale, which the very next BA refines, and the
+        # stereo depth head supplies most new points anyway. Monocular gets NO
+        # points except by triangulation, so there it runs after flush_ba on
+        # settled poses — staleness there loses tracking (measured).
+        overlap = self.cfg.sensor != "monocular"
+        tri = None
+        if self.cfg.mapping.triangulate_new_points and overlap:
+            tri = self._dispatch_triangulation(kf)
         self.flush_ba()
         self._cull_points(kf)
-        if self.cfg.mapping.triangulate_new_points:
-            self._create_new_points(kf)
+        if self.cfg.mapping.triangulate_new_points and not overlap:
+            tri = self._dispatch_triangulation(kf)
+        if tri is not None:
+            self._apply_triangulation(kf, *tri)
         self._local_ba(kf)
         if self.cfg.mapping.cull_keyframes:
             self._cull_keyframes(kf)
@@ -94,12 +106,10 @@ class LocalMapper:
             cand=jnp.asarray(cand),
         )
 
-    def _create_new_points(self, kf: int) -> None:
-        """CreateNewMapPoints (local_mapper.cpp:258-492): triangulate UNASSOCIATED
-        features of this keyframe against its best covisible neighbors — one
-        batched device program for all neighbors (pipeline/mapping_ops.py). For
-        stereo, unassociated features are exactly those without stereo depth, so
-        this adds the far points the depth head cannot."""
+    def _dispatch_triangulation(self, kf: int):
+        """First half of CreateNewMapPoints (local_mapper.cpp:258-492): build +
+        async-dispatch the batched triangulation program for this keyframe
+        against its best covisible neighbors. Returns (nbr_ids, device result)."""
         arena = self.arena
         cfg = self.cfg
         Nn = cfg.mapping.triangulation_neighbors
@@ -107,7 +117,7 @@ class LocalMapper:
             kf, min_shared=cfg.mapping.covisibility_edge_min, max_n=Nn
         )
         if len(nbr_ids) == 0:
-            return
+            return None
         cur = jax.tree.map(
             lambda a: a[0], self._kf_blocks(np.asarray([kf]), np.ones(1, bool))
         )
@@ -119,35 +129,54 @@ class LocalMapper:
             cfg.camera.baseline if cfg.sensor in ("stereo", "rgbd") else 0.01
         )
         res = self._jit_triangulate(cur, nbrs, jnp.float32(min_baseline))
+        return nbr_ids, res
+
+    def _apply_triangulation(self, kf: int, nbr_ids, res) -> None:
+        """Second half of CreateNewMapPoints: fetch the device result and insert
+        the new points (vectorized; the reference's per-match loop is
+        local_mapper.cpp:416-491)."""
+        arena = self.arena
+        cfg = self.cfg
         idx, pts, valid = jax.device_get([res.idx, res.pts, res.valid])
 
+        F = valid.shape[1]
+        any_valid = valid.any(axis=0)
+        first_ni = np.argmax(valid, axis=0)           # first neighbor that matched
+        f_all = np.nonzero(any_valid)[0]
+        # feature not already bound on this KF
+        f_all = f_all[arena.kf_point_idx[kf, f_all] < 0]
+        ni = first_ni[f_all]
+        nbr_arr = np.asarray(nbr_ids, np.int64)[ni]
+        nf = idx[ni, f_all]
+        # neighbor feature must be free, and claimed at most once this pass
+        free = arena.kf_point_idx[nbr_arr, nf] < 0
+        f_all, ni, nbr_arr, nf = f_all[free], ni[free], nbr_arr[free], nf[free]
+        pair_key = nbr_arr * (np.int64(F) + 1) + nf
+        _, first_idx = np.unique(pair_key, return_index=True)
+        keep = np.sort(first_idx)
+        f_all, ni, nbr_arr, nf = f_all[keep], ni[keep], nbr_arr[keep], nf[keep]
+
         n_new = 0
-        for ni, nbr_kf in enumerate(nbr_ids):
-            rows = np.nonzero(valid[ni])[0]
-            for f in rows:
-                f = int(f)
-                if arena.kf_point_idx[kf, f] >= 0:
-                    continue  # claimed by an earlier neighbor this pass
-                nf = int(idx[ni, f])
-                if arena.kf_point_idx[nbr_kf, nf] >= 0:
-                    continue
-                pos = pts[ni, f]
-                center = -arena.kf_pose[kf, :3, :3].T @ arena.kf_pose[kf, :3, 3]
-                delta = pos - center
-                dist = float(np.linalg.norm(delta))
-                if dist < 1e-6:
-                    continue
-                sf = cfg.orb.scale_factor
-                octv = float(arena.kf_octave[kf, f])
-                max_dist = dist * (sf**octv)
-                pid = arena.add_point(
-                    pos, arena.kf_desc[kf, f], kf, delta / dist,
-                    max_dist / (sf ** (cfg.orb.num_levels - 1)), max_dist,
-                )
-                arena.associate(kf, f, pid)
-                arena.associate(int(nbr_kf), nf, pid)
-                self.recent_points.append((pid, kf))
-                n_new += 1
+        if len(f_all):
+            pos = pts[ni, f_all]
+            center = -arena.kf_pose[kf, :3, :3].T @ arena.kf_pose[kf, :3, 3]
+            delta = pos - center
+            dist = np.linalg.norm(delta, axis=1)
+            ok = dist > 1e-6
+            f_all, nbr_arr, nf, pos, delta, dist = (
+                f_all[ok], nbr_arr[ok], nf[ok], pos[ok], delta[ok], dist[ok]
+            )
+            sf = cfg.orb.scale_factor
+            max_dist = dist * sf ** arena.kf_octave[kf, f_all].astype(np.float32)
+            pids = arena.add_points(
+                pos, arena.kf_desc[kf, f_all], kf, delta / dist[:, None],
+                max_dist / (sf ** (cfg.orb.num_levels - 1)), max_dist,
+            )
+            arena.associate_batch(kf, f_all, pids)
+            # nbr_arr rows are unique pairs but a pid appears once — safe
+            arena.associate_batch(nbr_arr, nf, pids)
+            self.recent_points.extend((int(p), kf) for p in pids)
+            n_new = len(pids)
         self.last_triangulation = {"neighbors": len(nbr_ids), "new_points": n_new}
 
     # ------------------------------------------------------------------ KF culling

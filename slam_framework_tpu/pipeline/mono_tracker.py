@@ -236,6 +236,8 @@ class MonoTracker(StereoTracker):
             pt_mask=jnp.asarray(slot >= 0),
             assoc_slot=jnp.asarray(slot),
         )
+        self._dstate_slot_host = slot.astype(np.int32)
+        self._dstate_slot_ids = self._block_ids
         eye = np.eye(4, dtype=np.float64)
         self.records.append(
             FrameRecord(ref["frame_id"], ref["ts"], np.eye(4, dtype=np.float32), False,

@@ -107,6 +107,8 @@ class StereoTracker:
         self._buf = []                # buffered (left, right, frame_id, ts) awaiting dispatch
         self._pending = []            # [(ids, tss, summaries, packs, descs, vis, found, block_ids)]
         self._pending_remap = None    # block ids awaiting device-state remap
+        self._dstate_slot_host = None  # host mirror of _dstate.assoc_slot
+        self._dstate_slot_ids = None   # block layout the mirror refers to
         self._jit_chunk = jax.jit(self._chunk)
 
     def _current_sync(self) -> int:
@@ -248,7 +250,13 @@ class StereoTracker:
             self.frame_id += 1
             return self.records[-1].pose if self.records else None
 
-        self._buf.append((left, right, self.frame_id, timestamp))
+        # Upload NOW (async device_put): spreading the 4 per-frame transfers
+        # across the inter-frame gaps overlaps them with the in-flight chunk's
+        # compute instead of serializing ~100 ms of upload inside _dispatch.
+        pair = jax.device_put(
+            jnp.stack([jnp.asarray(left), jnp.asarray(right)])
+        )
+        self._buf.append((pair, None, self.frame_id, timestamp))
         self.frame_id += 1
         if len(self._buf) >= self._current_sync():
             self._dispatch()
@@ -275,9 +283,9 @@ class StereoTracker:
             self._pending_remap = None
         batch = self._buf
         self._buf = []
-        images = np.stack([np.stack([b[0], b[1]]) for b in batch])  # (K,2,H,W)
+        images = jnp.stack([b[0] for b in batch])  # (K,2,H,W), already on device
         st, summaries, packs, descs, vis, found = self._jit_chunk(
-            self._dstate, jnp.asarray(images), self._block
+            self._dstate, images, self._block
         )
         self._dstate = st
         self._pending.append(
@@ -293,9 +301,13 @@ class StereoTracker:
         fids, tss, summaries_dev, packs_dev, descs_dev, vis_dev, found_dev, block_ids = (
             self._pending.pop(0)
         )
-        summaries, vis, found = jax.device_get(  # ONE RPC for the whole chunk
-            [summaries_dev, vis_dev, found_dev]
+        summaries, vis, found, last_slot = jax.device_get(  # ONE RPC for the chunk
+            [summaries_dev, vis_dev, found_dev, packs_dev[-1, :, 7]]
         )
+        # host mirror of the device state's assoc_slot (the last frame's slots) —
+        # lets _remap_device_state run without a blocking device fetch
+        self._dstate_slot_host = last_slot.astype(np.int32)
+        self._dstate_slot_ids = block_ids
         made_kf = 0
         # per-frame visible/found accrual (map_point.cpp:234-247) against the
         # block layout the chunk was DISPATCHED with
@@ -382,6 +394,8 @@ class StereoTracker:
             pt_mask=jnp.asarray(slot >= 0),
             assoc_slot=jnp.asarray(slot),
         )
+        self._dstate_slot_host = slot.astype(np.int32)
+        self._dstate_slot_ids = self._block_ids
         self.records.append(
             FrameRecord(self.frame_id, timestamp, res.pose, False, res.kf,
                         self._rel_to_ref(res.pose, res.kf))
@@ -452,6 +466,8 @@ class StereoTracker:
             pt_mask=jnp.asarray(slot >= 0),
             assoc_slot=jnp.asarray(slot),
         )
+        self._dstate_slot_host = slot.astype(np.int32)
+        self._dstate_slot_ids = self._block_ids
         rec = FrameRecord(self.frame_id, timestamp, pose, False, kf,
                           np.eye(4, dtype=np.float64))
         self.records.append(rec)
@@ -479,14 +495,11 @@ class StereoTracker:
         sf = cfg.orb.scale_factor
         max_dist = dist * (sf ** octave[feat_idx].astype(np.float32))
         min_dist = max_dist / (sf ** (cfg.orb.num_levels - 1))
-        pids = np.empty(len(feat_idx), np.int32)
-        for i, f in enumerate(feat_idx):
-            pid = arena.add_point(
-                pos[i], desc[f], kf, delta[i] / max(dist[i], 1e-9),
-                float(min_dist[i]), float(max_dist[i]),
-            )
-            arena.associate(kf, int(f), pid)
-            pids[i] = pid
+        pids = arena.add_points(
+            pos, desc[feat_idx], kf, delta / np.maximum(dist, 1e-9)[:, None],
+            min_dist, max_dist,
+        )
+        arena.associate_batch(kf, np.asarray(feat_idx), pids)
         return pids
 
     def _ref_kf_tracked_strong(self) -> int:
@@ -563,11 +576,17 @@ class StereoTracker:
 
     def _remap_device_state(self, old_ids: np.ndarray) -> None:
         """After a block rebuild, the device state's assoc_slot indices refer to the
-        OLD block layout; remap them to the new one (one small D2H+H2D per keyframe)."""
+        OLD block layout; remap them to the new one. The slots are read from the
+        host mirror kept by _drain (the device state's assoc_slot IS the last
+        drained frame's slot column), so no blocking device fetch is needed."""
         st = self._dstate
         if st is None:
             return
-        slots_old = jax.device_get(st.assoc_slot)
+        if self._dstate_slot_host is not None:
+            slots_old = self._dstate_slot_host
+            old_ids = self._dstate_slot_ids
+        else:
+            slots_old = jax.device_get(st.assoc_slot)
         pids = np.where(slots_old >= 0, old_ids[np.maximum(slots_old, 0)], -1)
         new_slots = self._ids_to_slots(pids)
         self._dstate = st._replace(
@@ -576,6 +595,8 @@ class StereoTracker:
             # refresh tracked positions: BA / loop correction may have moved them
             pt_pos=jnp.asarray(self._block_pos_for_slots(new_slots)),
         )
+        self._dstate_slot_host = new_slots.astype(np.int32)
+        self._dstate_slot_ids = self._block_ids
 
     # ------------------------------------------------------------------ local map block
 
@@ -614,6 +635,7 @@ class StereoTracker:
             min_dist=jnp.asarray(mind), max_dist=jnp.asarray(maxd), mask=jnp.asarray(mask),
         )
         self._block_ids = ids
+        self._block_pos_host = pos  # host mirror — keeps remap free of device fetches
 
     def _ids_to_slots(self, point_ids: np.ndarray) -> np.ndarray:
         lookup = np.full(self.arena.num_pts + 1, -1, np.int32)
@@ -627,7 +649,7 @@ class StereoTracker:
     def _block_pos_for_slots(self, slot: np.ndarray) -> np.ndarray:
         pos = np.zeros((len(slot), 3), np.float32)
         has = slot >= 0
-        pos[has] = np.asarray(self._block.pos)[slot[has]]
+        pos[has] = self._block_pos_host[slot[has]]
         return pos
 
     def _update_point_stats(self, pids: np.ndarray) -> None:

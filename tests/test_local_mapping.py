@@ -110,7 +110,9 @@ class TestTriangulation:
             arena.associate(1, j, pid)
         mapper = LocalMapper(cfg, arena, K)
         before = arena.n_valid_pts
-        mapper._create_new_points(1)
+        tri = mapper._dispatch_triangulation(1)
+        assert tri is not None
+        mapper._apply_triangulation(1, *tri)
         created = arena.n_valid_pts - before
         assert created > 30, f"only {created} new points"
         # created points near ground truth
