@@ -33,13 +33,35 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp
     a0, a1 = two_rows(P1, uv1)
     a2, a3 = two_rows(P2, uv2)
     A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (..., N, 4, 4)
-    AtA = _einsum("...ki,...kj->...ij", A, A)
-    # Smallest eigenvector of symmetric 4x4.
-    _, vecs = jnp.linalg.eigh(AtA)
-    x = vecs[..., :, 0]  # eigenvector for smallest eigenvalue
-    w = x[..., 3]
-    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return x[..., :3] / w_safe[..., None]
+    # Row-normalize: keeps the fp32 normal equations well-conditioned (raw rows
+    # carry fx-scale entries whose squares eat most of the mantissa).
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    # Inhomogeneous LS (w = 1): Householder QR on the 4x3 system, three unrolled
+    # reflections of pure elementwise math. This avoids both the ~100 ms batched
+    # eigh (Jacobi sweeps on TPU) and the condition-number squaring of the 3x3
+    # normal equations (which loses cm-level accuracy in fp32 for some pairs).
+    # Only points at infinity need the homogeneous form, and the callers'
+    # depth/parallax checks cull those anyway.
+    Mb = jnp.concatenate([A[..., :3], -A[..., 3:4]], axis=-1)  # (..., N, 4, 4) [M | b]
+    for k in range(3):
+        col = Mb[..., :, k]
+        x = jnp.where(jnp.arange(4) >= k, col, 0.0)
+        nx = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        xk = x[..., k : k + 1]
+        alpha = jnp.where(xk >= 0, -nx, nx)
+        e = (jnp.arange(4) == k).astype(Mb.dtype)
+        v = x - alpha * e
+        vn2 = jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30)
+        vtM = _einsum("...r,...rc->...c", v, Mb)
+        Mb = Mb - 2.0 * v[..., :, None] * vtM[..., None, :] / vn2[..., None]
+
+    def _safe(d):
+        return jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+
+    x2 = Mb[..., 2, 3] / _safe(Mb[..., 2, 2])
+    x1 = (Mb[..., 1, 3] - Mb[..., 1, 2] * x2) / _safe(Mb[..., 1, 1])
+    x0 = (Mb[..., 0, 3] - Mb[..., 0, 1] * x1 - Mb[..., 0, 2] * x2) / _safe(Mb[..., 0, 0])
+    return jnp.stack([x0, x1, x2], axis=-1)
 
 
 def reprojection_error(P: jnp.ndarray, pts_h: jnp.ndarray, uv: jnp.ndarray):

@@ -44,9 +44,13 @@ class LocalMapper:
                 iters_second=cfg.mapping.local_ba_iters_second,
             )
         )
-        self._jit_triangulate = functools.partial(
-            mapping_ops.triangulate_with_neighbors,
-            K=K, num_levels=cfg.orb.num_levels, scale_factor=cfg.orb.scale_factor,
+        self._jit_triangulate = jax.jit(
+            lambda cur, nbrs, mb: mapping_ops.compact_first_match(
+                mapping_ops.triangulate_with_neighbors(
+                    cur, nbrs, mb, K=K, num_levels=cfg.orb.num_levels,
+                    scale_factor=cfg.orb.scale_factor,
+                )
+            )
         )
         self.last_ba_stats: dict = {}
         self.last_triangulation: dict = {}
@@ -57,7 +61,7 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ main entry
 
-    def process_keyframe(self, kf: int) -> None:
+    def process_keyframe(self, kf: int, prefetched_ba=None) -> None:
         """ProcessNewKeyFrame + culling + triangulation + local BA + KF culling
         (the LocalMapper::Run loop, local_mapper.cpp:27-87).
 
@@ -76,7 +80,7 @@ class LocalMapper:
         tri = None
         if self.cfg.mapping.triangulate_new_points and overlap:
             tri = self._dispatch_triangulation(kf)
-        self.flush_ba()
+        self.flush_ba(prefetched=prefetched_ba)
         self._cull_points(kf)
         if self.cfg.mapping.triangulate_new_points and not overlap:
             tri = self._dispatch_triangulation(kf)
@@ -132,22 +136,22 @@ class LocalMapper:
         return nbr_ids, res
 
     def _apply_triangulation(self, kf: int, nbr_ids, res) -> None:
-        """Second half of CreateNewMapPoints: fetch the device result and insert
-        the new points (vectorized; the reference's per-match loop is
+        """Second half of CreateNewMapPoints: fetch the (compacted) device result
+        and insert the new points (vectorized; the reference's per-match loop is
         local_mapper.cpp:416-491)."""
         arena = self.arena
         cfg = self.cfg
-        idx, pts, valid = jax.device_get([res.idx, res.pts, res.valid])
+        ni_all, nf_all, pts, valid = jax.device_get(
+            [res.ni, res.nf, res.pts, res.valid]
+        )
 
-        F = valid.shape[1]
-        any_valid = valid.any(axis=0)
-        first_ni = np.argmax(valid, axis=0)           # first neighbor that matched
-        f_all = np.nonzero(any_valid)[0]
+        F = valid.shape[0]
+        f_all = np.nonzero(valid)[0]
         # feature not already bound on this KF
         f_all = f_all[arena.kf_point_idx[kf, f_all] < 0]
-        ni = first_ni[f_all]
+        ni = ni_all[f_all]
         nbr_arr = np.asarray(nbr_ids, np.int64)[ni]
-        nf = idx[ni, f_all]
+        nf = nf_all[f_all]
         # neighbor feature must be free, and claimed at most once this pass
         free = arena.kf_point_idx[nbr_arr, nf] < 0
         f_all, ni, nbr_arr, nf = f_all[free], ni[free], nbr_arr[free], nf[free]
@@ -158,7 +162,7 @@ class LocalMapper:
 
         n_new = 0
         if len(f_all):
-            pos = pts[ni, f_all]
+            pos = pts[f_all]
             center = -arena.kf_pose[kf, :3, :3].T @ arena.kf_pose[kf, :3, 3]
             delta = pos - center
             dist = np.linalg.norm(delta, axis=1)
@@ -354,7 +358,16 @@ class LocalMapper:
             "kf_flat": kf_flat, "ft_flat": ft_flat,
         }
 
-    def flush_ba(self) -> None:
+    def ba_handles(self):
+        """Device arrays of the in-flight BA result, or None — callers can fold
+        these into an existing device_get to save one blocking round-trip, then
+        pass the fetched values to flush_ba(prefetched=...)."""
+        if getattr(self, "_ba_pending", None) is None:
+            return None
+        res = self._ba_pending["res"]
+        return [res.cam_pose, res.pt_pos, res.obs_inlier]
+
+    def flush_ba(self, prefetched=None) -> None:
         """Fetch + write back the in-flight local BA (if any). Must run before any
         consumer that needs settled poses/points (loop closer, export, next BA)."""
         pending = getattr(self, "_ba_pending", None)
@@ -365,9 +378,12 @@ class LocalMapper:
         res = pending["res"]
         cams, cam_fixed = pending["cams"], pending["cam_fixed"]
         pid_set, m = pending["pid_set"], pending["m"]
-        new_cam, new_pt, inlier = jax.device_get(
-            [res.cam_pose, res.pt_pos, res.obs_inlier]
-        )
+        if prefetched is not None:
+            new_cam, new_pt, inlier = prefetched
+        else:
+            new_cam, new_pt, inlier = jax.device_get(
+                [res.cam_pose, res.pt_pos, res.obs_inlier]
+            )
         # Write back free cameras and surviving points
         for i, c in enumerate(cams):
             if not cam_fixed[i] and arena.kf_valid[c]:

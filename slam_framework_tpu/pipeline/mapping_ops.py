@@ -45,6 +45,26 @@ class TriangulationResult(NamedTuple):
     valid: jnp.ndarray   # (Nn, N) bool — passed all checks
 
 
+class CompactTriangulation(NamedTuple):
+    """Per-current-feature first-match compaction of TriangulationResult —
+    8x smaller device->host transfer (the host writeback only ever uses the
+    first neighbor that matched each feature)."""
+
+    ni: jnp.ndarray      # (N,) int32 first matching neighbor index
+    nf: jnp.ndarray      # (N,) int32 that neighbor's feature index
+    pts: jnp.ndarray     # (N, 3) world point from that pair
+    valid: jnp.ndarray   # (N,) bool any neighbor matched
+
+
+def compact_first_match(res: TriangulationResult) -> CompactTriangulation:
+    any_v = res.valid.any(axis=0)
+    ni = jnp.argmax(res.valid, axis=0).astype(jnp.int32)
+    ar = jnp.arange(res.idx.shape[1])
+    return CompactTriangulation(
+        ni=ni, nf=res.idx[ni, ar], pts=res.pts[ni, ar], valid=any_v
+    )
+
+
 def _fundamental_12(T1w: jnp.ndarray, T2w: jnp.ndarray, K: Intrinsics) -> jnp.ndarray:
     """F12 such that x2^T F12 x1 = 0 (ComputeFundamentalMatrix,
     local_mapper.cpp:615-630 computes the transpose convention; we keep x2'Fx1)."""

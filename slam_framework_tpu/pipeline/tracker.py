@@ -525,7 +525,15 @@ class StereoTracker:
         cfg = self.cfg
         if block_ids is None:
             block_ids = self._block_ids
-        pack, desc = jax.device_get([pack_dev, desc_dev])
+        # fold the in-flight local-BA result (if any) into this fetch: ONE
+        # blocking round-trip instead of two (flush_ba consumes it below via
+        # process_keyframe(prefetched_ba=...))
+        ba_handles = self.local_mapper.ba_handles()
+        if ba_handles is not None:
+            pack, desc, *ba_data = jax.device_get([pack_dev, desc_dev, *ba_handles])
+        else:
+            pack, desc = jax.device_get([pack_dev, desc_dev])
+            ba_data = None
         xy = pack[:, 0:2]
         u_right = pack[:, 2]
         depth = pack[:, 3]
@@ -564,7 +572,7 @@ class StereoTracker:
         self.last_kf_frame_id = fid
         if self.on_new_keyframe:
             self.on_new_keyframe(kf)
-        self.local_mapper.process_keyframe(kf)
+        self.local_mapper.process_keyframe(kf, prefetched_ba=ba_data)
         old_ids = self._block_ids
         self._rebuild_block()
         # remap of the device state is deferred to the next dispatch (the state of
