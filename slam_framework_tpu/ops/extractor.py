@@ -23,6 +23,15 @@ import numpy as np
 from slam_framework_tpu.config import OrbConfig
 from slam_framework_tpu.ops import brief, fast, orient, pyramid, select
 
+
+def _pallas_available() -> bool:
+    """Mosaic (Pallas TPU) lowering needs a real TPU backend; the CPU test mesh
+    uses the pure-XLA path in ops/fast.py instead."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
 DETECT_MARGIN = 16  # = EDGE_THRESHOLD - 3 (reference orb_extractor.cpp:707-713)
 
 
@@ -53,6 +62,7 @@ class OrbExtractor:
         self.per_level = pyramid.features_per_level(
             self.max_features, cfg.num_levels, cfg.scale_factor
         )
+        self._use_pallas = _pallas_available()
         self._jit = jax.jit(self._extract)
 
     def __call__(self, img: jnp.ndarray) -> Features:
@@ -79,10 +89,15 @@ class OrbExtractor:
             # only ever comes from a strictly stronger neighbor, which passes every
             # threshold the suppressed pixel passes, so NMS commutes with the
             # threshold cut (reference runs cv::FAST twice per cell,
-            # orb_extractor.cpp:750-757).
-            strength = fast.mask_border(
-                fast.nms3x3(fast.fast_strength_map(lvl_img)), DETECT_MARGIN
-            )
+            # orb_extractor.cpp:750-757). On TPU the fused Pallas kernel computes
+            # the same map in one VMEM pass (bit-exact away from the masked border).
+            if self._use_pallas:
+                from slam_framework_tpu.ops import fast_pallas
+
+                nms = fast_pallas.fast_nms_strength(lvl_img)
+            else:
+                nms = fast.nms3x3(fast.fast_strength_map(lvl_img))
+            strength = fast.mask_border(nms, DETECT_MARGIN)
             score_hi = jnp.where(strength > float(cfg.ini_thresh_fast), strength, 0.0)
             score_lo = jnp.where(strength > float(cfg.min_thresh_fast), strength, 0.0)
             sel = select.select_uniform(score_hi, score_lo, n_lvl, cell=cfg.fast_cell_size)
