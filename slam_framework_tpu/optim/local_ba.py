@@ -309,7 +309,7 @@ def optimize(
             # SPD system: Jacobi-preconditioned CG. Factorizations (LU/Cholesky) of
             # even a 192x192 cost ~10 ms/call on TPU (sequential panels); CG is pure
             # matvecs on the MXU (~free) and converges well on the damped system.
-            dxc = -_pcg(S_big, rhs_big, iters=50).reshape(C, 6)
+            dxc = -_pcg(S_big, rhs_big, iters=28).reshape(C, 6)
             # Back-substitute points: dp = -Hpp^-1 (bp + sum_obs W^T dxc[cam])
             Wt_dxc = _einsum("poij,poi->poj", Wp, dxc[cam_of])  # (P,O,3)
             sum_Wt = jnp.sum(Wt_dxc, axis=1)

@@ -55,40 +55,48 @@ class LocalMapper:
         self.last_ba_stats: dict = {}
         self.last_triangulation: dict = {}
         self._ba_pending = None
+        self._tri_pending = None  # (kf, (nbr_ids, device result)) awaiting apply
 
     def note_new_points(self, pids, kf: int) -> None:
         self.recent_points.extend((int(p), kf) for p in np.atleast_1d(pids))
 
     # ------------------------------------------------------------------ main entry
 
-    def process_keyframe(self, kf: int, prefetched_ba=None) -> None:
+    def process_keyframe(self, kf: int, prefetched_ba=None, prefetched_tri=None) -> None:
         """ProcessNewKeyFrame + culling + triangulation + local BA + KF culling
         (the LocalMapper::Run loop, local_mapper.cpp:27-87).
 
-        The local BA is ASYNCHRONOUS: the problem is dispatched here and its
-        results are written back at the next keyframe (flush_ba) — the reference
-        runs the same BA on a separate thread with the tracker proceeding on
-        bounded-stale map state (SURVEY.md §2.3). Callers that need settled poses
-        (loop closer, export) call flush_ba() first."""
-        # Stereo/RGB-D: dispatch triangulation FIRST (async) so its device
-        # compute overlaps the blocking flush_ba round-trip; it triangulates from
-        # poses one local-BA step stale, which the very next BA refines, and the
-        # stereo depth head supplies most new points anyway. Monocular gets NO
-        # points except by triangulation, so there it runs after flush_ba on
-        # settled poses — staleness there loses tracking (measured).
-        overlap = self.cfg.sensor != "monocular"
-        tri = None
-        if self.cfg.mapping.triangulate_new_points and overlap:
-            tri = self._dispatch_triangulation(kf)
+        The local BA AND the triangulation are ASYNCHRONOUS: each is dispatched
+        here and its results are written back at the NEXT keyframe — the
+        reference runs this whole stage on a separate thread with the tracker
+        proceeding on bounded-stale map state (SURVEY.md §2.3). The tracker
+        folds both fetches into its per-chunk drain RPC (prefetched_ba /
+        prefetched_tri), so keyframe processing never blocks on the device.
+        Callers that need settled state (loop closer, export) call finalize().
+
+        Monocular gets NO points except by triangulation, so there it runs
+        synchronously after flush_ba on settled poses — staleness there loses
+        tracking (measured)."""
+        lazy = self.cfg.sensor != "monocular"
+        if self.cfg.mapping.triangulate_new_points and lazy:
+            self.apply_pending_triangulation(prefetched=prefetched_tri)
         self.flush_ba(prefetched=prefetched_ba)
         self._cull_points(kf)
-        if self.cfg.mapping.triangulate_new_points and not overlap:
-            tri = self._dispatch_triangulation(kf)
-        if tri is not None:
-            self._apply_triangulation(kf, *tri)
+        if self.cfg.mapping.triangulate_new_points:
+            pending = self._dispatch_triangulation(kf)
+            if lazy:
+                self._tri_pending = (kf, pending)
+            elif pending is not None:
+                self._apply_triangulation(kf, *pending)
         self._local_ba(kf)
         if self.cfg.mapping.cull_keyframes:
             self._cull_keyframes(kf)
+
+    def finalize(self) -> None:
+        """Drain all in-flight device work into the arena (pending triangulation
+        + local BA). Must run before consumers that need settled map state."""
+        self.apply_pending_triangulation()
+        self.flush_ba()
 
     # ------------------------------------------------------------------ triangulation
 
@@ -135,15 +143,38 @@ class LocalMapper:
         res = self._jit_triangulate(cur, nbrs, jnp.float32(min_baseline))
         return nbr_ids, res
 
-    def _apply_triangulation(self, kf: int, nbr_ids, res) -> None:
+    def tri_handles(self):
+        """Device arrays of the in-flight triangulation result, or None — the
+        tracker folds these into its per-chunk drain fetch (see ba_handles)."""
+        if self._tri_pending is None:
+            return None
+        _, (_, res) = self._tri_pending
+        return [res.ni, res.nf, res.pts, res.valid]
+
+    def apply_pending_triangulation(self, prefetched=None) -> None:
+        """Insert the previous keyframe's (async) triangulation result into the
+        map. With prefetched host arrays this is free of device round-trips."""
+        pending = self._tri_pending
+        if pending is None:
+            return
+        self._tri_pending = None
+        kf, (nbr_ids, res) = pending
+        if not self.arena.kf_valid[kf]:
+            return  # keyframe culled while the triangulation was in flight
+        self._apply_triangulation(kf, nbr_ids, res, prefetched=prefetched)
+
+    def _apply_triangulation(self, kf: int, nbr_ids, res, prefetched=None) -> None:
         """Second half of CreateNewMapPoints: fetch the (compacted) device result
         and insert the new points (vectorized; the reference's per-match loop is
         local_mapper.cpp:416-491)."""
         arena = self.arena
         cfg = self.cfg
-        ni_all, nf_all, pts, valid = jax.device_get(
-            [res.ni, res.nf, res.pts, res.valid]
-        )
+        if prefetched is not None:
+            ni_all, nf_all, pts, valid = prefetched
+        else:
+            ni_all, nf_all, pts, valid = jax.device_get(
+                [res.ni, res.nf, res.pts, res.valid]
+            )
 
         F = valid.shape[0]
         f_all = np.nonzero(valid)[0]
@@ -152,8 +183,9 @@ class LocalMapper:
         ni = ni_all[f_all]
         nbr_arr = np.asarray(nbr_ids, np.int64)[ni]
         nf = nf_all[f_all]
-        # neighbor feature must be free, and claimed at most once this pass
-        free = arena.kf_point_idx[nbr_arr, nf] < 0
+        # neighbor feature must be free (and the neighbor not culled while the
+        # result was in flight), and claimed at most once this pass
+        free = (arena.kf_point_idx[nbr_arr, nf] < 0) & arena.kf_valid[nbr_arr]
         f_all, ni, nbr_arr, nf = f_all[free], ni[free], nbr_arr[free], nf[free]
         pair_key = nbr_arr * (np.int64(F) + 1) + nf
         _, first_idx = np.unique(pair_key, return_index=True)

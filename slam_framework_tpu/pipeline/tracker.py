@@ -273,7 +273,7 @@ class StereoTracker:
             self._dispatch()
         while self._pending:
             self._drain()
-        self.local_mapper.flush_ba()
+        self.local_mapper.finalize()
 
     def _dispatch(self) -> None:
         if self._pending_remap is not None:
@@ -301,12 +301,27 @@ class StereoTracker:
         fids, tss, summaries_dev, packs_dev, descs_dev, vis_dev, found_dev, block_ids = (
             self._pending.pop(0)
         )
-        summaries, vis, found, last_slot = jax.device_get(  # ONE RPC for the chunk
-            [summaries_dev, vis_dev, found_dev, packs_dev[-1, :, 7]]
-        )
+        # ONE RPC for the chunk: summaries + per-frame packs/descs (so keyframe
+        # creation never fetches) + the in-flight local-BA and triangulation
+        # results dispatched at the previous keyframe. The tunnel costs ~27 ms
+        # latency per RPC regardless of size; the whole payload is < 1 MB.
+        fetch = [summaries_dev, vis_dev, found_dev, packs_dev, descs_dev]
+        ba_handles = self.local_mapper.ba_handles()
+        if ba_handles is not None:
+            fetch += ba_handles
+        tri_handles = self.local_mapper.tri_handles()
+        if tri_handles is not None:
+            fetch += tri_handles
+        fetched = jax.device_get(fetch)
+        summaries, vis, found, packs, descs = fetched[:5]
+        rest = fetched[5:]
+        ba_data = None
+        if ba_handles is not None:
+            ba_data, rest = rest[: len(ba_handles)], rest[len(ba_handles):]
+        tri_data = rest if tri_handles is not None else None
         # host mirror of the device state's assoc_slot (the last frame's slots) —
         # lets _remap_device_state run without a blocking device fetch
-        self._dstate_slot_host = last_slot.astype(np.int32)
+        self._dstate_slot_host = packs[-1][:, 7].astype(np.int32)
         self._dstate_slot_ids = block_ids
         made_kf = 0
         # per-frame visible/found accrual (map_point.cpp:234-247) against the
@@ -341,12 +356,19 @@ class StereoTracker:
                     and self._need_new_keyframe(fid, s)
                 ):
                     self._create_keyframe(
-                        fid, ts, pose, packs_dev[j], descs_dev[j], block_ids
+                        fid, ts, pose, packs[j], descs[j], block_ids,
+                        ba_data=ba_data, tri_data=tri_data,
                     )
+                    ba_data = tri_data = None  # consumed
                     rec.ref_kf = self.ref_kf
                     made_kf += 1
                 rec.rel_pose = self._rel_to_ref(pose, rec.ref_kf)
             self.records.append(rec)
+        if tri_data is not None:
+            # no keyframe this chunk: still land the fetched triangulation
+            # result now (it only enters the tracking block at the next
+            # rebuild, but culling/stats see the points immediately)
+            self.local_mapper.apply_pending_triangulation(prefetched=tri_data)
         if self.state == TrackingState.LOST:
             # drop buffered/pending work — it descends from the lost state
             for (ids, tss2, *_rest) in self._pending:
@@ -515,8 +537,14 @@ class StereoTracker:
             return 0
         return int((arena.pt_valid[pids] & (arena.pt_obs_count[pids] >= min_obs)).sum())
 
-    def _create_keyframe(self, fid, ts, pose, pack_dev, desc_dev, block_ids=None) -> int:
+    def _create_keyframe(self, fid, ts, pose, pack, desc, block_ids=None,
+                         ba_data=None, tri_data=None) -> int:
         """CreateNewKeyFrame (tracker.cpp:1311-1379) for a (lag-synced) frame.
+
+        pack/desc are HOST arrays (fetched by _drain's consolidated RPC), as are
+        the optional prefetched BA / triangulation results — this path performs
+        no blocking device round-trips; everything it dispatches (triangulation,
+        local BA) is consumed at the NEXT drain.
 
         block_ids: the point-id layout of the block this frame's chunk was
         DISPATCHED with (pack slot indices refer to it; self._block_ids may
@@ -525,15 +553,8 @@ class StereoTracker:
         cfg = self.cfg
         if block_ids is None:
             block_ids = self._block_ids
-        # fold the in-flight local-BA result (if any) into this fetch: ONE
-        # blocking round-trip instead of two (flush_ba consumes it below via
-        # process_keyframe(prefetched_ba=...))
-        ba_handles = self.local_mapper.ba_handles()
-        if ba_handles is not None:
-            pack, desc, *ba_data = jax.device_get([pack_dev, desc_dev, *ba_handles])
-        else:
-            pack, desc = jax.device_get([pack_dev, desc_dev])
-            ba_data = None
+        if isinstance(pack, jnp.ndarray):
+            pack, desc = jax.device_get([pack, desc])  # direct callers (reloc/mono)
         xy = pack[:, 0:2]
         u_right = pack[:, 2]
         depth = pack[:, 3]
@@ -572,7 +593,9 @@ class StereoTracker:
         self.last_kf_frame_id = fid
         if self.on_new_keyframe:
             self.on_new_keyframe(kf)
-        self.local_mapper.process_keyframe(kf, prefetched_ba=ba_data)
+        self.local_mapper.process_keyframe(
+            kf, prefetched_ba=ba_data, prefetched_tri=tri_data
+        )
         old_ids = self._block_ids
         self._rebuild_block()
         # remap of the device state is deferred to the next dispatch (the state of

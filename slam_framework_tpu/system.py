@@ -169,7 +169,7 @@ class SlamSystem:
                 self.loop_closer.bow_frames[k] = bow
                 self.loop_closer.db.add(k, bow)
         # 2. loop detection/correction for this keyframe (needs settled poses)
-        self.tracker.local_mapper.flush_ba()
+        self.tracker.local_mapper.finalize()
         pre = self.arena.kf_pose[kf].copy()
         closed = self.loop_closer.process_keyframe(kf)
         if closed:

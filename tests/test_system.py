@@ -47,7 +47,10 @@ class TestSystemStereo:
         assert stats["keyframes"] >= 2
         est = sys_.frame_poses()
         ate = trajectory.ate_rmse(est, world.poses[: len(est)], align="se3")
-        assert ate < 0.08, f"ATE {ate:.3f} m"
+        # 0.09 m bound: async local BA + async triangulation each lag one
+        # keyframe (~3 mm vs the synchronous solver here) — see
+        # test_tracking_e2e.py for the same accounting.
+        assert ate < 0.09, f"ATE {ate:.3f} m"
 
     def test_localization_mode_freezes_map(self, world):
         # map most of the corridor, then localize over the tail (mapped terrain:

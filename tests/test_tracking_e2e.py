@@ -61,10 +61,11 @@ def test_stereo_tracking_follows_ground_truth(small_cfg, world):
 
     est = tracker.trajectory_poses()
     ate = trajectory.ate_rmse(est, world.poses[: len(est)], align="se3")
-    # ~24 m of travel: 0.08 m = 0.33% of travel (ORB-SLAM2 KITTI regime is
-    # 0.7-1%). The async local BA (write-back lags one keyframe) costs ~1 cm
-    # vs the synchronous solver but overlaps BA with tracking.
-    assert ate < 0.08, f"ATE {ate:.3f} m"
+    # ~24 m of travel: 0.09 m = 0.38% of travel (ORB-SLAM2 KITTI regime is
+    # 0.7-1%). The async local BA AND async triangulation (each lags one
+    # keyframe) cost ~1.5 cm vs the synchronous solver, but let keyframe
+    # processing overlap tracking with zero blocking device round-trips.
+    assert ate < 0.09, f"ATE {ate:.3f} m"
     assert tracker.arena.n_valid_kfs >= 2
     assert tracker.arena.n_valid_pts > 500
 
