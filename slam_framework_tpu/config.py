@@ -196,4 +196,7 @@ class SlamConfig:
             tracker=tracker,
             sensor=sensor,
             vocabulary_path=raw.get("orb_vocabulary"),
+            # the reference's `use_ros` gates its visualization thread
+            # (slam_system.cpp:69-73) — here it gates the viz.MapPublisher
+            use_viewer=bool(raw.get("use_ros", raw.get("use_viewer", False))),
         )

@@ -72,6 +72,17 @@ class SlamSystem:
         if self.vocab is not None:
             self._activate_place_recognition()
         self.tracker.on_new_keyframe = self._on_new_keyframe
+        # visualization thread (reference: RosPublisher, started when use_ros is
+        # set, slam_system.cpp:69-73) — sink-pluggable, see viz/publisher.py
+        prev_pub = getattr(self, "publisher", None)
+        if prev_pub is not None:
+            prev_pub.stop()
+        self.publisher = None
+        if cfg.use_viewer:
+            from slam_framework_tpu.viz import MapPublisher
+
+            self.publisher = MapPublisher(self.tracker, self.arena)
+            self.publisher.start()
 
     def reset(self) -> None:
         """Tracker::Reset (tracker.cpp:225-246): clear map, database, state."""
@@ -80,6 +91,8 @@ class SlamSystem:
 
     def shutdown(self) -> dict:
         """Drain pending device work; return run statistics (Shutdown :226-247)."""
+        if self.publisher is not None:
+            self.publisher.stop()
         self.tracker.flush()
         return {
             "frames": len(self.tracker.records),
