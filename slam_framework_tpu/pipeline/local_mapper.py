@@ -27,13 +27,15 @@ from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.map.arena import MapArena
 from slam_framework_tpu.optim import local_ba
 from slam_framework_tpu.pipeline import mapping_ops
+from slam_framework_tpu.utils.observability import StageTimers
 
 
 class LocalMapper:
-    def __init__(self, cfg: SlamConfig, arena: MapArena, K: Intrinsics):
+    def __init__(self, cfg: SlamConfig, arena: MapArena, K: Intrinsics, timers=None):
         self.cfg = cfg
         self.arena = arena
         self.K = K
+        self.timers = timers if timers is not None else StageTimers()
         self.recent_points: list[tuple[int, int]] = []  # (pid, created_at_kf)
         self.on_erase_keyframe = None  # hook: notify place-recognition database
         self._jit_ba = jax.jit(
@@ -78,19 +80,24 @@ class LocalMapper:
         synchronously after flush_ba on settled poses — staleness there loses
         tracking (measured)."""
         lazy = self.cfg.sensor != "monocular"
-        if self.cfg.mapping.triangulate_new_points and lazy:
-            self.apply_pending_triangulation(prefetched=prefetched_tri)
-        self.flush_ba(prefetched=prefetched_ba)
-        self._cull_points(kf)
+        with self.timers.time("mapper/writeback"):
+            if self.cfg.mapping.triangulate_new_points and lazy:
+                self.apply_pending_triangulation(prefetched=prefetched_tri)
+            self.flush_ba(prefetched=prefetched_ba)
+        with self.timers.time("mapper/cull_points"):
+            self._cull_points(kf)
         if self.cfg.mapping.triangulate_new_points:
-            pending = self._dispatch_triangulation(kf)
-            if lazy:
-                self._tri_pending = (kf, pending)
-            elif pending is not None:
-                self._apply_triangulation(kf, *pending)
-        self._local_ba(kf)
+            with self.timers.time("mapper/triangulate"):
+                pending = self._dispatch_triangulation(kf)
+                if lazy:
+                    self._tri_pending = (kf, pending)
+                elif pending is not None:
+                    self._apply_triangulation(kf, *pending)
+        with self.timers.time("mapper/ba_dispatch"):
+            self._local_ba(kf)
         if self.cfg.mapping.cull_keyframes:
-            self._cull_keyframes(kf)
+            with self.timers.time("mapper/cull_keyframes"):
+                self._cull_keyframes(kf)
 
     def finalize(self) -> None:
         """Drain all in-flight device work into the arena (pending triangulation
@@ -397,7 +404,7 @@ class LocalMapper:
         if getattr(self, "_ba_pending", None) is None:
             return None
         res = self._ba_pending["res"]
-        return [res.cam_pose, res.pt_pos, res.obs_inlier]
+        return [res.cam_pose, res.pt_pos, res.obs_inlier, res.total_chi2]
 
     def flush_ba(self, prefetched=None) -> None:
         """Fetch + write back the in-flight local BA (if any). Must run before any
@@ -411,10 +418,10 @@ class LocalMapper:
         cams, cam_fixed = pending["cams"], pending["cam_fixed"]
         pid_set, m = pending["pid_set"], pending["m"]
         if prefetched is not None:
-            new_cam, new_pt, inlier = prefetched
+            new_cam, new_pt, inlier, total_chi2 = prefetched
         else:
-            new_cam, new_pt, inlier = jax.device_get(
-                [res.cam_pose, res.pt_pos, res.obs_inlier]
+            new_cam, new_pt, inlier, total_chi2 = jax.device_get(
+                [res.cam_pose, res.pt_pos, res.obs_inlier, res.total_chi2]
             )
         # Write back free cameras and surviving points
         for i, c in enumerate(cams):
@@ -444,4 +451,5 @@ class LocalMapper:
             "points": len(pid_set),
             "obs": m,
             "outliers": n_erased,
+            "chi2": float(total_chi2),
         }

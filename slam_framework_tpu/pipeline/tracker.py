@@ -36,6 +36,7 @@ from slam_framework_tpu.map.arena import MapArena
 from slam_framework_tpu.pipeline import track_ops
 from slam_framework_tpu.pipeline.frame import FrameData, StereoFrontend
 from slam_framework_tpu.pipeline.local_mapper import LocalMapper
+from slam_framework_tpu.utils.observability import MetricsLog, StageTimers, trace_span
 
 
 class TrackingState(enum.Enum):
@@ -95,10 +96,11 @@ class StereoTracker:
         self.last_kf_frame_id = -1
         self.frame_id = 0
         self.records: list[FrameRecord] = []
-        self.metrics: list[dict] = []
+        self.metrics = MetricsLog()   # structured per-frame/per-keyframe events
+        self.timers = StageTimers()   # per-stage wall clocks (SURVEY.md §5.1)
         self.on_new_keyframe = None  # hook: called with kf id after insertion
 
-        self.local_mapper = LocalMapper(cfg, self.arena, self.K)
+        self.local_mapper = LocalMapper(cfg, self.arena, self.K, timers=self.timers)
         self.relocalizer = None       # set by SlamSystem once place recognition exists
         self.localization_only = False  # ActivateLocalizationMode (slam_system.h:38)
         self._dstate: Optional[DeviceTrackState] = None
@@ -259,20 +261,24 @@ class StereoTracker:
         self._buf.append((pair, None, self.frame_id, timestamp))
         self.frame_id += 1
         if len(self._buf) >= self._current_sync():
-            self._dispatch()
+            with self.timers.time("dispatch"), trace_span("tracker/dispatch"):
+                self._dispatch()
             # drain immediately: letting a chunk ride in flight doubles the
             # keyframe-decision lag (8+ frames at KITTI speed) and starves the
             # local map ahead of the camera (measured: ATE 0.05 -> 4.5, LOST).
             # Overlap comes from the ASYNC local BA instead (local_mapper.py).
-            self._drain()
+            with self.timers.time("drain"), trace_span("tracker/drain"):
+                self._drain()
         return self.records[-1].pose if self.records else None
 
     def flush(self) -> None:
         """Process all buffered/pending frames (end of sequence or map queries)."""
         if self._buf:
-            self._dispatch()
+            with self.timers.time("dispatch"):
+                self._dispatch()
         while self._pending:
-            self._drain()
+            with self.timers.time("drain"):
+                self._drain()
         self.local_mapper.finalize()
 
     def _dispatch(self) -> None:
@@ -346,10 +352,13 @@ class StereoTracker:
             if lost:
                 self.state = TrackingState.LOST
                 rec = FrameRecord(fid, ts, None, True, self.ref_kf)
+                self.metrics.add(event="frame", frame_id=fid, lost=True,
+                                 matches=int(s[16]), inliers=n_inliers)
             else:
                 self.state = TrackingState.OK
                 rec = FrameRecord(fid, ts, pose, False, self.ref_kf)
-                self.metrics.append({"matches": int(s[16]), "inliers": n_inliers})
+                self.metrics.add(event="frame", frame_id=fid,
+                                 matches=int(s[16]), inliers=n_inliers)
                 if (
                     made_kf < self.MAX_KFS_PER_CHUNK
                     and not self.localization_only
@@ -422,8 +431,9 @@ class StereoTracker:
             FrameRecord(self.frame_id, timestamp, res.pose, False, res.kf,
                         self._rel_to_ref(res.pose, res.kf))
         )
-        self.metrics.append({"matches": res.n_inliers, "inliers": res.n_inliers,
-                             "relocalized": True})
+        self.metrics.add(event="frame", frame_id=self.frame_id,
+                         matches=res.n_inliers, inliers=res.n_inliers,
+                         relocalized=True)
 
     def _need_new_keyframe(self, fid: int, s: np.ndarray) -> bool:
         """NeedNewKeyFrame (tracker.cpp:1229-1309) from the device summary."""
@@ -593,8 +603,15 @@ class StereoTracker:
         self.last_kf_frame_id = fid
         if self.on_new_keyframe:
             self.on_new_keyframe(kf)
-        self.local_mapper.process_keyframe(
-            kf, prefetched_ba=ba_data, prefetched_tri=tri_data
+        with self.timers.time("keyframe"), trace_span("tracker/keyframe"):
+            self.local_mapper.process_keyframe(
+                kf, prefetched_ba=ba_data, prefetched_tri=tri_data
+            )
+        self.metrics.add(
+            event="keyframe", frame_id=fid, kf=kf,
+            tracked_points=self.ref_kf_tracked,
+            ba=dict(self.local_mapper.last_ba_stats),
+            triangulation=dict(self.local_mapper.last_triangulation),
         )
         old_ids = self._block_ids
         self._rebuild_block()

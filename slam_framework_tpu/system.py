@@ -102,6 +102,19 @@ class SlamSystem:
             "resets": self.n_resets,
         }
 
+    def metrics_summary(self) -> dict:
+        """Structured run metrics: tracking aggregates + per-stage wall clocks
+        (the reference logs nothing structured, SURVEY.md §5.5; here it is a
+        first-class output)."""
+        return {
+            "tracking": self.tracker.metrics.summary(),
+            "stages": self.tracker.timers.summary(),
+        }
+
+    def dump_metrics(self, path: str) -> None:
+        """Write the full structured event log (one JSON line per frame/keyframe)."""
+        self.tracker.metrics.to_jsonl(path)
+
     # ------------------------------------------------------------------ tracking API
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray, timestamp: float):

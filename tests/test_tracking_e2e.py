@@ -72,8 +72,22 @@ def test_stereo_tracking_follows_ground_truth(small_cfg, world):
 
 def test_tracking_metrics_recorded(small_cfg, world):
     tracker = run_sequence(small_cfg, world, n=6)
-    assert len(tracker.metrics) >= 4
-    assert all(m["inliers"] >= 30 for m in tracker.metrics)
+    frames = tracker.metrics.frames()
+    assert len(frames) >= 4
+    assert all(m["inliers"] >= 30 for m in frames if not m.get("lost"))
+    # keyframe events carry mapper stats (BA chi2/outliers, triangulation)
+    kfs = tracker.metrics.keyframes()
+    assert len(kfs) >= 1
+    # the first keyframe has no prior BA to report; later ones do
+    bas = [k["ba"] for k in kfs if k["ba"]]
+    tracker.local_mapper.finalize()
+    bas.append(tracker.local_mapper.last_ba_stats)  # final in-flight BA
+    assert {"cams", "points", "obs", "chi2"} <= set(bas[-1])
+    # stage timers accumulated for the hot stages
+    assert {"dispatch", "drain"} <= set(tracker.timers.total_s)
+    summary = tracker.metrics.summary()
+    assert summary["frames"] == len(frames)
+    assert summary["inliers_mean"] >= 30
 
 
 def test_trajectory_export_roundtrip(tmp_path, small_cfg, world):
