@@ -56,15 +56,19 @@ class LocalMapper:
         )
         self.last_ba_stats: dict = {}
         self.last_triangulation: dict = {}
+        self.last_fuse: dict = {}
         self._ba_pending = None
         self._tri_pending = None  # (kf, (nbr_ids, device result)) awaiting apply
+        self._fuse_pending = None  # (nbr_ids, pids_pad, device result) awaiting apply
 
     def note_new_points(self, pids, kf: int) -> None:
         self.recent_points.extend((int(p), kf) for p in np.atleast_1d(pids))
 
     # ------------------------------------------------------------------ main entry
 
-    def process_keyframe(self, kf: int, prefetched_ba=None, prefetched_tri=None) -> None:
+    def process_keyframe(
+        self, kf: int, prefetched_ba=None, prefetched_tri=None, prefetched_fuse=None
+    ) -> None:
         """ProcessNewKeyFrame + culling + triangulation + local BA + KF culling
         (the LocalMapper::Run loop, local_mapper.cpp:27-87).
 
@@ -81,6 +85,7 @@ class LocalMapper:
         tracking (measured)."""
         lazy = self.cfg.sensor != "monocular"
         with self.timers.time("mapper/writeback"):
+            self.apply_pending_fuse(prefetched=prefetched_fuse)
             if self.cfg.mapping.triangulate_new_points and lazy:
                 self.apply_pending_triangulation(prefetched=prefetched_tri)
             self.flush_ba(prefetched=prefetched_ba)
@@ -100,21 +105,28 @@ class LocalMapper:
                 self._cull_keyframes(kf)
 
     def finalize(self) -> None:
-        """Drain all in-flight device work into the arena (pending triangulation
-        + local BA). Must run before consumers that need settled map state."""
+        """Drain all in-flight device work into the arena (pending fuse +
+        triangulation + local BA). Must run before consumers that need settled
+        map state."""
+        self.apply_pending_fuse()
         self.apply_pending_triangulation()
         self.flush_ba()
 
     # ------------------------------------------------------------------ triangulation
 
-    def _kf_blocks(self, kfs: np.ndarray, cand_on: np.ndarray) -> "mapping_ops.KFBlock":
+    def _kf_blocks(
+        self, kfs: np.ndarray, cand_on: np.ndarray, free_only: bool = True
+    ) -> "mapping_ops.KFBlock":
         """One stacked block for several keyframes — a SINGLE host->device upload
         per field (per-KF uploads cost one tunnel RPC each; at 10 neighbors x 7
-        fields that alone was ~1s per keyframe)."""
+        fields that alone was ~1s per keyframe). free_only: restrict candidate
+        features to those without a map point (triangulation wants free features;
+        the fuse pass wants all — bound features become merge candidates)."""
         arena = self.arena
         kfs = np.asarray(kfs, np.int64)
-        pid = arena.kf_point_idx[kfs]
-        cand = arena.kf_feat_valid[kfs] & (pid < 0) & cand_on[:, None]
+        cand = arena.kf_feat_valid[kfs] & cand_on[:, None]
+        if free_only:
+            cand &= arena.kf_point_idx[kfs] < 0
         return mapping_ops.KFBlock(
             pose=jnp.asarray(arena.kf_pose[kfs]),
             xy=jnp.asarray(arena.kf_xy[kfs]),
@@ -221,6 +233,126 @@ class LocalMapper:
             self.recent_points.extend((int(p), kf) for p in pids)
             n_new = len(pids)
         self.last_triangulation = {"neighbors": len(nbr_ids), "new_points": n_new}
+        # SearchInNeighbors (local_mapper.cpp:494-554) now that this keyframe's
+        # points (old + freshly triangulated) are settled: fuse them into the
+        # covisible keyframes — adds confirming observations (raising obs counts
+        # toward the >=3 the keyframe policy and culling reason about) and merges
+        # duplicate landmarks. Async for stereo/RGB-D like BA/triangulation
+        # (fetched via the drain RPC, applied at the next keyframe); synchronous
+        # for mono, whose young map needs fresh obs counts immediately.
+        with self.timers.time("mapper/fuse_neighbors"):
+            pending = self._dispatch_fuse(kf)
+            if pending is not None:
+                if self.cfg.sensor != "monocular":
+                    self._fuse_pending = pending
+                else:
+                    self._apply_fuse(*pending)
+
+    # ------------------------------------------------------------------ neighbor fusion
+    # LocalMapper::SearchInNeighbors + OrbMatcher::Fuse (local_mapper.cpp:494-554,
+    # orb_matcher.cpp:804-954): fuse a keyframe's map points into its covisible
+    # neighbors. The reverse direction (neighbors' points into the keyframe) is
+    # covered at creation by track_ops.fuse_candidates against the local block.
+
+    def _search_in_neighbors(self, kf: int) -> None:
+        """Synchronous dispatch + apply (tests / direct callers)."""
+        pending = self._dispatch_fuse(kf)
+        if pending is not None:
+            self._apply_fuse(*pending)
+
+    def _dispatch_fuse(self, kf: int):
+        """Build + async-dispatch the batched fuse program: one device program over
+        all covisible neighbors. Returns (nbr_ids, pids_pad, device result) or None."""
+        arena = self.arena
+        cfg = self.cfg
+        if not arena.kf_valid[kf]:
+            return None
+        Nn = cfg.mapping.triangulation_neighbors
+        nbr_ids = arena.covisible_keyframes(
+            kf, min_shared=cfg.mapping.covisibility_edge_min, max_n=Nn
+        )
+        if len(nbr_ids) == 0:
+            return None
+        pids_row = arena.kf_point_idx[kf]
+        pids = np.unique(pids_row[pids_row >= 0])
+        pids = pids[arena.pt_valid[pids]]
+        if len(pids) == 0:
+            return None
+        P = arena.kf_point_idx.shape[1]
+        pids_pad = np.zeros(P, np.int64)
+        pmask = np.zeros(P, bool)
+        pids_pad[: len(pids)] = pids
+        pmask[: len(pids)] = True
+        padded = np.concatenate([nbr_ids, np.full(Nn - len(nbr_ids), nbr_ids[0])])
+        cand_on = np.arange(Nn) < len(nbr_ids)
+        nbrs = self._kf_blocks(padded, cand_on, free_only=False)
+        res = mapping_ops.fuse_points_into_kfs(
+            jnp.asarray(arena.pt_pos[pids_pad]),
+            jnp.asarray(arena.pt_desc[pids_pad]),
+            jnp.asarray(arena.pt_normal[pids_pad]),
+            jnp.asarray(arena.pt_min_dist[pids_pad]),
+            jnp.asarray(arena.pt_max_dist[pids_pad]),
+            jnp.asarray(pmask),
+            nbrs,
+            K=self.K,
+            num_levels=cfg.orb.num_levels,
+            scale_factor=cfg.orb.scale_factor,
+            image_wh=(cfg.camera.width, cfg.camera.height),
+        )
+        return nbr_ids, pids_pad, res
+
+    def fuse_handles(self):
+        """Device arrays of the in-flight fuse result, or None — the tracker folds
+        these into its per-chunk drain fetch (see ba_handles)."""
+        if getattr(self, "_fuse_pending", None) is None:
+            return None
+        return [self._fuse_pending[2]]
+
+    def apply_pending_fuse(self, prefetched=None) -> None:
+        pending = getattr(self, "_fuse_pending", None)
+        if pending is None:
+            return
+        self._fuse_pending = None
+        nbr_ids, pids_pad, res = pending
+        self._apply_fuse(nbr_ids, pids_pad, res, prefetched=prefetched)
+
+    def _apply_fuse(self, nbr_ids, pids_pad, res, prefetched=None) -> None:
+        """Host write-back: add-observation on a free neighbor feature, or merge on
+        a bound one (duplicate landmark — MapPoint::Replace, map_point.cpp:190-226,
+        the more-observed point wins). Validity re-checked per row: points/keyframes
+        may have been culled while the result was in flight."""
+        arena = self.arena
+        if prefetched is not None:
+            assoc = np.asarray(prefetched[0])
+        else:
+            assoc = np.asarray(jax.device_get(res))  # (Nn, F) into pids_pad, -1 none
+        n_added = n_merged = 0
+        for n, nbr in enumerate(np.asarray(nbr_ids)):
+            nbr = int(nbr)
+            if not arena.kf_valid[nbr]:
+                continue
+            for f in np.nonzero(assoc[n] >= 0)[0]:
+                pid = int(pids_pad[assoc[n, f]])
+                if not arena.pt_valid[pid]:
+                    continue  # merged away earlier in this pass
+                existing = int(arena.kf_point_idx[nbr, f])
+                if existing == pid:
+                    continue
+                if existing >= 0 and arena.pt_valid[existing]:
+                    if arena.pt_obs_count[existing] >= arena.pt_obs_count[pid]:
+                        arena.merge_points(int(existing), pid)
+                    else:
+                        arena.merge_points(pid, int(existing))
+                    n_merged += 1
+                else:
+                    c = int(arena.pt_obs_count[pid])
+                    if (arena.pt_obs_kf[pid, :c] == nbr).any():
+                        continue  # already observed in this keyframe at another feature
+                    arena.associate(nbr, int(f), pid)
+                    n_added += 1
+        self.last_fuse = {
+            "neighbors": len(nbr_ids), "added_obs": n_added, "merged": n_merged,
+        }
 
     # ------------------------------------------------------------------ KF culling
 

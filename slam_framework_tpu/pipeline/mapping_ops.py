@@ -160,6 +160,73 @@ def _triangulate_pair(
     return res.idx, pts, ok
 
 
+def _fuse_points_one_kf(
+    pt_pos, pt_desc, pt_normal, pt_min_dist, pt_max_dist, pt_mask,
+    kf: KFBlock,
+    K: Intrinsics,
+    num_levels: int,
+    scale_factor: float,
+    image_wh: tuple,
+):
+    """Project a point set into ONE keyframe and pick, per keyframe feature, the
+    best duplicate-candidate point (OrbMatcher::Fuse, orb_matcher.cpp:804-954):
+    in-frustum, dist within [min,max], viewing cos > 0.5, radius 3*scale(predicted
+    level), octave within +-1, Hamming <= TH_LOW. Returns (F,) int32 point index
+    per keyframe feature, -1 if none."""
+    from slam_framework_tpu.pipeline import track_ops
+
+    u, v, z = track_ops._project(kf.pose, pt_pos, K)
+    Twc = se3.se3_inverse(kf.pose)
+    center = Twc[:3, 3]
+    delta = pt_pos - center[None, :]
+    dist = jnp.linalg.norm(delta, axis=-1)
+    view_cos = jnp.sum(delta * pt_normal, axis=-1) / jnp.maximum(dist, 1e-6)
+    W, H = image_wh
+    in_frustum = (
+        pt_mask & (z > 0.1) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        & (dist >= 0.5 * pt_min_dist) & (dist <= 1.5 * pt_max_dist)
+        & (view_cos > 0.5)
+    )
+    lvl = track_ops.predict_scale(dist, pt_max_dist, num_levels)
+    radius = 3.0 * (scale_factor ** lvl.astype(jnp.float32))
+    pred_uv = jnp.stack([u, v], axis=-1)
+
+    ham = hamming.hamming_matrix(pt_desc, kf.desc)
+    gate = (
+        matcher.window_gate(pred_uv, kf.xy, radius)
+        & matcher.octave_gate(lvl, kf.octave, -1, 1)
+        & in_frustum[:, None]
+        & kf.cand[None, :]
+    )
+    res = matcher.gated_match(ham, gate, max_dist=track_ops.TH_LOW)
+    res = matcher.resolve_duplicate_columns(res, kf.xy.shape[0])
+    return track_ops._invert_matches(res, pt_pos.shape[0], kf.xy.shape[0])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "num_levels", "scale_factor", "image_wh")
+)
+def fuse_points_into_kfs(
+    pt_pos, pt_desc, pt_normal, pt_min_dist, pt_max_dist, pt_mask,
+    kfs: KFBlock,
+    K: Intrinsics,
+    num_levels: int = 8,
+    scale_factor: float = 1.2,
+    image_wh: tuple = (1241, 376),
+):
+    """SearchInNeighbors' Fuse pass (local_mapper.cpp:494-554) over ALL neighbor
+    keyframes in one device program. kfs: (Nn, ...) stacked blocks with `cand` =
+    feature-valid (bound features included — conflicts become host-side merges).
+    Returns (Nn, F) int32: best point per (keyframe, feature), -1 none."""
+    fn = functools.partial(
+        _fuse_points_one_kf, K=K, num_levels=num_levels,
+        scale_factor=scale_factor, image_wh=image_wh,
+    )
+    return jax.vmap(
+        lambda kf: fn(pt_pos, pt_desc, pt_normal, pt_min_dist, pt_max_dist, pt_mask, kf)
+    )(kfs)
+
+
 @functools.partial(
     jax.jit, static_argnames=("K", "num_levels", "scale_factor")
 )

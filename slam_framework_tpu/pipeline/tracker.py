@@ -138,25 +138,34 @@ class StereoTracker:
         Besides per-frame summaries, the scan accumulates per-block-slot
         visible/found counters (MapPoint::IncreaseVisible/IncreaseFound,
         map_point.cpp:234-247 — the reference updates these EVERY frame; without
-        them MapPointCulling's found-ratio is meaningless and the map starves)."""
+        them MapPointCulling's found-ratio is meaningless and the map starves).
+
+        Structure: the ORB front-end (pyramid/FAST/BRIEF/stereo) is independent of
+        tracking state, so it runs as ONE vmapped program over all K frames —
+        larger batched kernels instead of K serialized executions inside the scan
+        (the scan would also false-serialize frame i+1's extraction behind frame
+        i's pose optimization). Only the state-carrying tracking part scans."""
         P = block.pos.shape[0]
         zeros = jnp.zeros(P, jnp.int32)
 
-        def body(carry, img):
+        fds = jax.vmap(lambda img: self.frontend._process(img[0], img[1]))(images)
+
+        def body(carry, fd):
             st, vis_acc, found_acc = carry
-            st2, summary, pack, desc, vis, found = self._step_core(
-                st, img[0], img[1], block
-            )
+            st2, summary, pack, desc, vis, found = self._track_core(st, fd, block)
             return (st2, vis_acc + vis, found_acc + found), (summary, pack, desc)
 
         (state, vis, found), (summaries, packs, descs) = jax.lax.scan(
-            body, (state, zeros, zeros), images
+            body, (state, zeros, zeros), fds
         )
         return state, summaries, packs, descs, vis, found
 
     def _step_core(self, state: DeviceTrackState, left, right, block: track_ops.PointBlock):
-        cfg = self.cfg
         fd = self.frontend._process(left, right)
+        return self._track_core(state, fd, block)
+
+    def _track_core(self, state: DeviceTrackState, fd: FrameData, block: track_ops.PointBlock):
+        cfg = self.cfg
         pred = state.velocity @ state.pose
 
         res1 = track_ops.track_motion(
@@ -318,13 +327,19 @@ class StereoTracker:
         tri_handles = self.local_mapper.tri_handles()
         if tri_handles is not None:
             fetch += tri_handles
+        fuse_handles = self.local_mapper.fuse_handles()
+        if fuse_handles is not None:
+            fetch += fuse_handles
         fetched = jax.device_get(fetch)
         summaries, vis, found, packs, descs = fetched[:5]
         rest = fetched[5:]
         ba_data = None
         if ba_handles is not None:
             ba_data, rest = rest[: len(ba_handles)], rest[len(ba_handles):]
-        tri_data = rest if tri_handles is not None else None
+        tri_data = None
+        if tri_handles is not None:
+            tri_data, rest = rest[: len(tri_handles)], rest[len(tri_handles):]
+        fuse_data = rest if fuse_handles is not None else None
         # host mirror of the device state's assoc_slot (the last frame's slots) —
         # lets _remap_device_state run without a blocking device fetch
         self._dstate_slot_host = packs[-1][:, 7].astype(np.int32)
@@ -366,13 +381,16 @@ class StereoTracker:
                 ):
                     self._create_keyframe(
                         fid, ts, pose, packs[j], descs[j], block_ids,
-                        ba_data=ba_data, tri_data=tri_data,
+                        ba_data=ba_data, tri_data=tri_data, fuse_data=fuse_data,
                     )
-                    ba_data = tri_data = None  # consumed
+                    ba_data = tri_data = fuse_data = None  # consumed
                     rec.ref_kf = self.ref_kf
                     made_kf += 1
                 rec.rel_pose = self._rel_to_ref(pose, rec.ref_kf)
             self.records.append(rec)
+        if fuse_data is not None:
+            # no keyframe this chunk: still land the fetched fuse result
+            self.local_mapper.apply_pending_fuse(prefetched=fuse_data)
         if tri_data is not None:
             # no keyframe this chunk: still land the fetched triangulation
             # result now (it only enters the tracking block at the next
@@ -548,7 +566,7 @@ class StereoTracker:
         return int((arena.pt_valid[pids] & (arena.pt_obs_count[pids] >= min_obs)).sum())
 
     def _create_keyframe(self, fid, ts, pose, pack, desc, block_ids=None,
-                         ba_data=None, tri_data=None) -> int:
+                         ba_data=None, tri_data=None, fuse_data=None) -> int:
         """CreateNewKeyFrame (tracker.cpp:1311-1379) for a (lag-synced) frame.
 
         pack/desc are HOST arrays (fetched by _drain's consolidated RPC), as are
@@ -605,7 +623,8 @@ class StereoTracker:
             self.on_new_keyframe(kf)
         with self.timers.time("keyframe"), trace_span("tracker/keyframe"):
             self.local_mapper.process_keyframe(
-                kf, prefetched_ba=ba_data, prefetched_tri=tri_data
+                kf, prefetched_ba=ba_data, prefetched_tri=tri_data,
+                prefetched_fuse=fuse_data,
             )
         self.metrics.add(
             event="keyframe", frame_id=fid, kf=kf,

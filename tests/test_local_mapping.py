@@ -122,6 +122,71 @@ class TestTriangulation:
         assert np.median(err) < 0.05
 
 
+class TestSearchInNeighbors:
+    def test_fuse_adds_observations_and_merges(self, scene):
+        """SearchInNeighbors (local_mapper.cpp:494-554): projecting a keyframe's
+        points into covisible neighbors adds confirming observations on free
+        features and merges duplicate landmarks on bound ones."""
+        pts, descs = scene
+        cfg = SlamConfig(
+            camera=CameraConfig(fx=FX, fy=FY, cx=CX, cy=CY, width=320, height=240, bf=60.0),
+            capacity=CapacityConfig(max_keyframes=8, max_map_points=512, max_features=N),
+        )
+        arena = MapArena.create(cfg.capacity, N)
+        for i, tx in enumerate((0.0, 0.5)):
+            T = _pose(tx)
+            uv, _ = _project(T, pts)
+            xy = np.zeros((N, 2), np.float32)
+            xy[:64] = uv
+            desc = np.zeros((N, 8), np.uint32)
+            desc[:64] = descs
+            valid = np.arange(N) < 64
+            arena.add_keyframe(
+                T, i, float(i), xy, np.full(N, -1.0, np.float32),
+                np.full(N, -1.0, np.float32), np.zeros(N, np.int16),
+                np.zeros(N, np.float32), desc, valid, np.full(N, -1, np.int32),
+            )
+        # kf1 owns a point per feature; the first 20 are shared with kf0
+        # (covisibility seed). Scale range anchored at the true distance so the
+        # predicted level is 0 (matches the stored octave-0 features).
+        pids = []
+        for j in range(64):
+            d = float(np.linalg.norm(pts[j]))
+            pid = arena.add_point(
+                pts[j], descs[j], 1, (pts[j] / d).astype(np.float32), 0.5 * d, d
+            )
+            arena.associate(1, j, pid)
+            if j < 20:
+                arena.associate(0, j, pid)
+            pids.append(pid)
+        # a duplicate landmark of point 30, bound to kf0's feature 30
+        d30 = float(np.linalg.norm(pts[30]))
+        dup = arena.add_point(
+            pts[30] + 0.001, descs[30], 0,
+            (pts[30] / d30).astype(np.float32), 0.5 * d30, d30,
+        )
+        arena.associate(0, 30, dup)
+
+        mapper = LocalMapper(cfg, arena, K)
+        mapper._search_in_neighbors(1)
+
+        assert mapper.last_fuse["added_obs"] > 30
+        assert mapper.last_fuse["merged"] >= 1
+        # free kf0 features now observe kf1's points
+        added = [j for j in range(20, 64) if j != 30 and arena.kf_point_idx[0, j] >= 0]
+        assert len(added) > 30
+        for j in added[:5]:
+            assert arena.kf_point_idx[0, j] == pids[j]
+            assert arena.pt_obs_count[pids[j]] == 2
+        # the duplicate pair was merged into one surviving point seen by both KFs
+        survivors = [p for p in (pids[30], dup) if arena.pt_valid[p]]
+        assert len(survivors) == 1
+        s = survivors[0]
+        assert arena.kf_point_idx[0, 30] == s and arena.kf_point_idx[1, 30] == s
+        obs_kfs = set(arena.pt_obs_kf[s, : int(arena.pt_obs_count[s])].tolist())
+        assert obs_kfs == {0, 1}
+
+
 class TestKeyFrameCulling:
     def test_redundant_kf_erased(self, scene):
         pts, descs = scene
