@@ -168,6 +168,8 @@ def main() -> int:
     ap.add_argument("--cg-iters", type=int, default=40)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--sweep", action="store_true",
+                    help="run at 1,2,4,...,--devices and report scaling efficiency")
     args = ap.parse_args()
 
     import jax
@@ -181,56 +183,76 @@ def main() -> int:
     prob, K, poses_gt, pts_gt, m = make_problem(args.kfs, args.pts, args.obs_per_pt)
     n_lm = args.iters[0] + args.iters[1]
 
-    if args.devices > 1:
-        from jax.sharding import Mesh
+    def bench_at(n_devices: int) -> dict:
+        if n_devices > 1:
+            from jax.sharding import Mesh
 
-        devs = jax.devices()[: args.devices]
-        assert len(devs) == args.devices, f"only {len(devs)} devices available"
-        mesh = Mesh(np.array(devs), ("ba",))
-        sharded = dist_ba.shard_problem(prob, args.devices)
+            devs = jax.devices()[:n_devices]
+            assert len(devs) == n_devices, f"only {len(devs)} devices available"
+            mesh = Mesh(np.array(devs), ("ba",))
+            sharded = dist_ba.shard_problem(prob, n_devices)
 
-        def run():
-            return dist_ba.optimize_global_sharded(
-                sharded, mesh, K, iters_first=args.iters[0],
-                iters_second=args.iters[1], cg_iters=args.cg_iters,
-            )
-    else:
-        def run():
-            return global_ba.optimize_global(
-                prob, K=K, iters_first=args.iters[0], iters_second=args.iters[1],
-                cg_iters=args.cg_iters,
-            )
+            def run():
+                return dist_ba.optimize_global_sharded(
+                    sharded, mesh, K, iters_first=args.iters[0],
+                    iters_second=args.iters[1], cg_iters=args.cg_iters,
+                )
+        else:
+            def run():
+                return global_ba.optimize_global(
+                    prob, K=K, iters_first=args.iters[0], iters_second=args.iters[1],
+                    cg_iters=args.cg_iters,
+                )
 
-    res = run()  # compile + warm
-    jax.block_until_ready(res.cam_pose)
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        res = run()
+        res = run()  # compile + warm
         jax.block_until_ready(res.cam_pose)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            res = run()
+            jax.block_until_ready(res.cam_pose)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
 
-    # solution quality: camera translation error vs ground truth
-    new_cam = np.asarray(jax.device_get(res.cam_pose))[: args.kfs].astype(np.float64)
-    err = np.linalg.norm(
-        np.einsum("nji,nj->ni", new_cam[:, :3, :3], -new_cam[:, :3, 3])
-        - np.einsum("nji,nj->ni", poses_gt[:, :3, :3], -poses_gt[:, :3, 3]),
-        axis=1,
-    )
-    print(json.dumps({
-        "metric": "local_ba_lm_iters_per_sec",
-        "value": round(n_lm / dt, 2),
-        "unit": "iter/s",
-        "config": {
-            "kfs": args.kfs, "pts": args.pts, "obs": m,
-            "devices": args.devices, "lm_iters": n_lm, "cg_iters": args.cg_iters,
-        },
-        "wall_s": round(dt, 3),
-        "obs_iters_per_sec": round(m * n_lm / dt, 0),
-        "cam_err_rmse_m": round(float(np.sqrt((err ** 2).mean())), 4),
-        "chi2": float(jax.device_get(res.total_chi2)),
-    }))
+        # solution quality: camera translation error vs ground truth
+        new_cam = np.asarray(jax.device_get(res.cam_pose))[: args.kfs].astype(np.float64)
+        err = np.linalg.norm(
+            np.einsum("nji,nj->ni", new_cam[:, :3, :3], -new_cam[:, :3, 3])
+            - np.einsum("nji,nj->ni", poses_gt[:, :3, :3], -poses_gt[:, :3, 3]),
+            axis=1,
+        )
+        out = {
+            "metric": "local_ba_lm_iters_per_sec",
+            "value": round(n_lm / dt, 2),
+            "unit": "iter/s",
+            "config": {
+                "kfs": args.kfs, "pts": args.pts, "obs": m,
+                "devices": n_devices, "lm_iters": n_lm, "cg_iters": args.cg_iters,
+            },
+            "wall_s": round(dt, 3),
+            "obs_iters_per_sec": round(m * n_lm / dt, 0),
+            "cam_err_rmse_m": round(float(np.sqrt((err ** 2).mean())), 4),
+            "chi2": float(jax.device_get(res.total_chi2)),
+        }
+        print(json.dumps(out))
+        return out
+
+    if args.sweep:
+        results = []
+        d = 1
+        while d <= args.devices:
+            results.append(bench_at(d))
+            d *= 2
+        base = results[0]["value"]
+        for r in results[1:]:
+            nd = r["config"]["devices"]
+            eff = r["value"] / (base * nd)
+            print(json.dumps({
+                "metric": "ba_scaling_efficiency", "devices": nd,
+                "value": round(eff, 3), "unit": "fraction_of_linear",
+            }))
+    else:
+        bench_at(args.devices)
     return 0
 
 
