@@ -15,6 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from slam_framework_tpu.geometry import sim3 as s3
 from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.utils.precision import einsum as _einsum
 
@@ -107,8 +108,101 @@ def solve_sim3_ransac(
     inl = (e1 < err_mult * sigma2_1[None]) & (e2 < err_mult * sigma2_2[None]) & mask[None]
     counts = jnp.sum(inl.astype(jnp.int32), axis=1)
     best = jnp.argmax(counts)
+    # GN refinement over the inlier set (the reference refines the RANSAC Sim3
+    # with g2o OptimizeSim3, loop_closer.cpp:430-440 / optimizer.cpp:962-1152)
+    Rb, tb, sb, inl_b, cnt_b = refine_sim3(
+        R[best], t[best], s[best], pts1, pts2, uv1, uv2,
+        sigma2_1, sigma2_2, inl[best], K,
+        fix_scale=fix_scale, err_mult=err_mult,
+    )
     return Sim3Result(
-        R=R[best], t=t[best], s=s[best],
-        inliers=inl[best], n_inliers=counts[best],
-        ok=counts[best] >= min_inliers,
+        R=Rb, t=tb, s=sb,
+        inliers=inl_b, n_inliers=cnt_b,
+        ok=cnt_b >= min_inliers,
+    )
+
+
+def refine_sim3(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    s0: jnp.ndarray,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    sigma2_1: jnp.ndarray,
+    sigma2_2: jnp.ndarray,
+    mask: jnp.ndarray,
+    K: Intrinsics,
+    fix_scale: bool = True,
+    n_iters: int = 10,
+    err_mult: float = 9.21,
+    huber2: float = 10.0,     # chi2 kernel delta^2 (optimizer.cpp:1019 deltaHuber=sqrt(10))
+):
+    """Gauss-Newton Sim3 refinement on reprojection error in BOTH images — the
+    TPU equivalent of Optimizer::OptimizeSim3 (optimizer.cpp:962-1152): forward
+    (exp(xi) . S) updates of the 7-dof tangent (rot, trans, log-scale; the scale
+    row is zeroed when fix_scale), Huber-weighted normal equations, inliers
+    re-gated each iteration. Fixed shapes, fixed iteration count."""
+
+    def project(P):
+        z = jnp.where(P[..., 2] > 1e-6, P[..., 2], 1e-6)
+        return jnp.stack(
+            [K.fx * P[..., 0] / z + K.cx, K.fy * P[..., 1] / z + K.cy], axis=-1
+        )
+
+    inv_s2 = jnp.concatenate([1.0 / sigma2_1, 1.0 / sigma2_2])  # (2N,)
+
+    def residuals(xi, S_flat):
+        S = s3.make(S_flat[:9].reshape(3, 3), S_flat[9:12], S_flat[12])
+        S2 = s3.compose(s3.exp(xi), S)
+        r1 = project(s3.apply(S2, pts2)) - uv1       # (N, 2)
+        r2 = project(s3.apply(s3.inverse(S2), pts1)) - uv2
+        return jnp.concatenate([r1, r2], axis=0)     # (2N, 2)
+
+    def chi2_of(r):
+        return jnp.sum(r * r, axis=-1) * inv_s2      # (2N,)
+
+    def body(_, carry):
+        S_flat, inl = carry
+        zero = jnp.zeros(7, S_flat.dtype)
+        r = residuals(zero, S_flat)                  # (2N, 2)
+        J = jax.jacfwd(residuals)(zero, S_flat)      # (2N, 2, 7)
+        chi2 = chi2_of(r)
+        w_huber = jnp.where(chi2 > huber2, jnp.sqrt(huber2 / jnp.maximum(chi2, 1e-12)), 1.0)
+        w = inv_s2 * w_huber * inl.astype(S_flat.dtype)
+        H = _einsum("nri,nrj,n->ij", J, J, w)
+        g = _einsum("nri,nr,n->i", J, r, w)
+        if fix_scale:
+            # pin the scale direction: zero row+col 7 (incl. cross terms), unit
+            # diagonal, zero gradient -> delta[6] == 0 exactly
+            e = jnp.zeros(7).at[6].set(1.0)
+            keep = 1.0 - e
+            H = H * keep[:, None] * keep[None, :] + jnp.outer(e, e)
+            g = g * keep
+        delta = -jnp.linalg.solve(H + 1e-6 * jnp.eye(7), g)
+        S = s3.make(S_flat[:9].reshape(3, 3), S_flat[9:12], S_flat[12])
+        S2 = s3.compose(s3.exp(delta), S)
+        S_flat2 = jnp.concatenate([S2["R"].reshape(-1), S2["t"], S2["s"][None]])
+        # re-gate inliers with the updated transform (chi2 already sigma-scaled,
+        # so the gate is err_mult directly, matching the RANSAC inlier test)
+        r_new = residuals(jnp.zeros(7, S_flat.dtype), S_flat2)
+        c_new = chi2_of(r_new)
+        both = (c_new[: pts1.shape[0]] < err_mult) & (c_new[pts1.shape[0]:] < err_mult)
+        inl2 = both & mask
+        inl_full = jnp.concatenate([inl2, inl2])
+        return S_flat2, inl_full
+
+    S_flat0 = jnp.concatenate(
+        [R0.reshape(-1), t0, jnp.asarray(s0, R0.dtype)[None]]
+    ).astype(jnp.float32)
+    inl0 = jnp.concatenate([mask, mask])
+    S_flat, inl_full = jax.lax.fori_loop(0, n_iters, body, (S_flat0, inl0))
+    inl = inl_full[: pts1.shape[0]]
+    return (
+        S_flat[:9].reshape(3, 3),
+        S_flat[9:12],
+        S_flat[12],
+        inl,
+        jnp.sum(inl.astype(jnp.int32)),
     )

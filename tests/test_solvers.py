@@ -133,3 +133,44 @@ def test_mono_initializer_rejects_pure_rotation(rng):
         jnp.ones(n, bool), K, jax.random.PRNGKey(4),
     )
     assert not bool(res.ok)
+
+
+def test_sim3_refine_improves_noisy_hypothesis(rng):
+    """refine_sim3 (OptimizeSim3 equivalent, optimizer.cpp:962-1152): a perturbed
+    Sim3 converges to ground truth using reprojection in both images."""
+    n = 60
+    pts2 = np.stack(
+        [rng.uniform(-8, 8, n), rng.uniform(-3, 3, n), rng.uniform(5, 30, n)], -1
+    ).astype(np.float32)
+    R_true = np.asarray(se3.so3_exp(jnp.asarray([0.05, 0.3, -0.02])), np.float32)
+    t_true = np.array([2.0, 0.3, -1.0], np.float32)
+    s_true = 1.4
+    pts1 = (s_true * (R_true @ pts2.T)).T + t_true
+
+    def proj(P):
+        return np.stack([K.fx * P[:, 0] / P[:, 2] + K.cx, K.fy * P[:, 1] / P[:, 2] + K.cy], -1)
+
+    uv1 = proj(pts1).astype(np.float32)
+    uv2 = proj(pts2).astype(np.float32)
+    # perturbed initial guess
+    R0 = np.asarray(se3.so3_exp(jnp.asarray([0.09, 0.25, 0.02])), np.float32)
+    t0 = t_true + np.array([0.4, -0.3, 0.2], np.float32)
+    s0 = 1.2
+    R, t, s, inl, n_inl = sim3solver.refine_sim3(
+        jnp.asarray(R0), jnp.asarray(t0), jnp.float32(s0),
+        jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(n), jnp.ones(n), jnp.ones(n, bool), K, fix_scale=False,
+    )
+    np.testing.assert_allclose(np.asarray(R), R_true, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=0.05)
+    np.testing.assert_allclose(float(s), s_true, rtol=5e-3)
+    assert int(n_inl) > 50
+
+    # fix_scale pins s at its initial value
+    _, _, s_fixed, _, _ = sim3solver.refine_sim3(
+        jnp.asarray(R0), jnp.asarray(t0), jnp.float32(1.0),
+        jnp.asarray(pts1 / s_true), jnp.asarray(pts2),
+        jnp.asarray(proj(pts1 / s_true)), jnp.asarray(uv2),
+        jnp.ones(n), jnp.ones(n), jnp.ones(n, bool), K, fix_scale=True,
+    )
+    np.testing.assert_allclose(float(s_fixed), 1.0, atol=1e-6)
