@@ -127,7 +127,14 @@ def optimize_pose(
             chi2 = chi2_of(r, z)
             w_rob = huber_weight(chi2, delta2) * obs.inv_sigma2
             du, dv, dur, _ = reproj.camera_rows(x, y, z, K)
-            w_uv = w_rob * active.astype(jnp.float32)
+            # behind-camera / grazing points get inv_z clamped to 1e6: their
+            # residuals AND Jacobian rows are astronomical and would swamp the
+            # normal equations (H grows ~J^2/|r|, unbounded even under Huber).
+            # Zero-weight them — relevant for far initializations (reference-KF
+            # fallback, relocalization), where a fraction of the map legitimately
+            # lands behind the predicted camera.
+            in_front = (z > 1e-2).astype(jnp.float32)
+            w_uv = w_rob * active.astype(jnp.float32) * in_front
             w_ur = w_uv * is_stereo.astype(jnp.float32)
             H = reproj.sym_outer_sum([(du, w_uv), (dv, w_uv), (dur, w_ur)], 6)
             b = reproj.rhs_sum([(du, w_uv, r_u), (dv, w_uv, r_v), (dur, w_ur, r_ur)], 6)

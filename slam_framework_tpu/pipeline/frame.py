@@ -15,9 +15,21 @@ import jax
 import jax.numpy as jnp
 
 from slam_framework_tpu.config import SlamConfig
+from slam_framework_tpu.geometry import projection
 from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.ops import pyramid, stereo_match
 from slam_framework_tpu.ops.extractor import Features, OrbExtractor
+
+
+def _undistort_if_needed(xy: jnp.ndarray, cfg: SlamConfig, K: Intrinsics) -> jnp.ndarray:
+    """UndistortKeyPoints (frame.cpp:614-641): geometry downstream uses undistorted
+    pixel coordinates; identity (no extra ops traced) when all coefficients are 0,
+    which is the rectified-stereo/KITTI case."""
+    cam = cfg.camera
+    coeffs = (cam.k1, cam.k2, cam.p1, cam.p2, cam.k3)
+    if not any(coeffs):
+        return xy
+    return projection.undistort_points(xy, K, jnp.asarray(coeffs, jnp.float32))
 
 
 class FrameData(NamedTuple):
@@ -64,9 +76,11 @@ class StereoFrontend:
         )
         fl: Features = self.extractor._extract_from_pyramid(lp)
         fr: Features = self.extractor._extract_from_pyramid(rp)
+        # stereo matching searches RAW rectified rows (frame.cpp:406-577);
+        # undistortion applies to the geometry coordinates only
         sm = stereo_match.match_stereo(fl, fr, lp, rp, self.K, self.extractor.scales)
         return FrameData(
-            xy=fl.xy,
+            xy=_undistort_if_needed(fl.xy, cfg, self.K),
             response=fl.response,
             angle=fl.angle,
             octave=fl.octave,
@@ -109,9 +123,12 @@ class RgbdFrontend:
         if cfg.camera.depth_map_factor not in (0.0, 1.0):
             d = d / cfg.camera.depth_map_factor
         has = (d > 0) & f.valid
-        u_right = jnp.where(has, f.xy[:, 0] - self.K.bf / jnp.maximum(d, 1e-6), -1.0)
+        # depth sampled at the RAW pixel; u_right synthesized from the UNDISTORTED
+        # coordinate like the reference (ComputeStereoFromRGBD, frame.cpp:579-597)
+        xy_un = _undistort_if_needed(f.xy, cfg, self.K)
+        u_right = jnp.where(has, xy_un[:, 0] - self.K.bf / jnp.maximum(d, 1e-6), -1.0)
         return FrameData(
-            xy=f.xy,
+            xy=xy_un,
             response=f.response,
             angle=f.angle,
             octave=f.octave,
@@ -145,7 +162,7 @@ class MonoFrontend:
         f: Features = self.extractor._extract(img)
         n = f.xy.shape[0]
         return FrameData(
-            xy=f.xy,
+            xy=_undistort_if_needed(f.xy, self.cfg, self.K),
             response=f.response,
             angle=f.angle,
             octave=f.octave,

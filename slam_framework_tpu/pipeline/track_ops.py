@@ -207,6 +207,36 @@ def track_local_map(
     )
 
 
+def track_reference_fallback(
+    cur: FrameData,
+    last_pose: jnp.ndarray,      # (4,4) last tracked frame's pose (NOT extrapolated)
+    block: PointBlock,
+    K: Intrinsics,
+) -> TrackResult:
+    """TrackReferenceKeyFrame (tracker.cpp:657-694 + SearchByBoW,
+    orb_matcher.cpp:133-262): when the constant-velocity model breaks, associate by
+    GLOBAL descriptor matching against the local point block — no projection window
+    (the predicted pose is exactly what can't be trusted) — with mutual-best,
+    0.7 nn-ratio and TH_LOW acceptance, then optimize from the LAST pose.
+    The reference restricts candidates by shared vocabulary node to cut CPU cost;
+    the dense Hamming matrix on the MXU needs no such pruning."""
+    ham = hamming.hamming_matrix(block.desc, cur.desc)
+    gate = block.mask[:, None] & cur.valid[None, :]
+    res = matcher.gated_match(ham, gate, max_dist=TH_LOW, nn_ratio=0.7, mutual=True)
+    res = matcher.resolve_duplicate_columns(res, cur.capacity)
+    assoc = _invert_matches(res, block.pos.shape[0], cur.capacity)
+    obs = _obs_from_assoc(cur, block.pos, assoc)
+    # cold start: the reference runs the full 4x10 schedule here (optimizer.cpp:359)
+    opt = pose_opt.optimize_pose(last_pose, obs, K, n_rounds=4, n_iters=6)
+    return TrackResult(
+        pose=opt.pose,
+        assoc=assoc,
+        inlier=opt.inliers,
+        n_matches=jnp.sum((assoc >= 0).astype(jnp.int32)),
+        n_inliers=opt.num_inliers,
+    )
+
+
 def fuse_candidates(
     cur: FrameData,
     pose: jnp.ndarray,

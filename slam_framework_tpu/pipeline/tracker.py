@@ -175,14 +175,37 @@ class StereoTracker:
         )
         # carry block slots through the motion association
         ok1 = (res1.assoc >= 0) & res1.inlier
-        prior = jnp.where(ok1, state.assoc_slot[jnp.maximum(res1.assoc, 0)], -1)
+        prior_motion = jnp.where(ok1, state.assoc_slot[jnp.maximum(res1.assoc, 0)], -1)
+
+        # TrackReferenceKeyFrame ladder (tracker.cpp:486-540): when motion-model
+        # tracking collapses (velocity jerk — the projection windows miss), fall
+        # back to GLOBAL descriptor matching against the local block seeded from
+        # the last pose. lax.cond keeps the fallback off the hot path.
+        def _motion_path(_):
+            return res1.pose, prior_motion
+
+        def _reference_path(_):
+            fb = track_ops.track_reference_fallback(fd, state.pose, block, K=self.K)
+            prior_fb = jnp.where((fb.assoc >= 0) & fb.inlier, fb.assoc, -1)
+            # adopt the fallback only when it actually locked on (reference
+            # requires >= 10 inliers, tracker.cpp:693); otherwise the motion
+            # prediction — however weak — is the better local-map seed
+            good = fb.n_inliers >= 10
+            return (
+                jnp.where(good, fb.pose, res1.pose),
+                jnp.where(good, prior_fb, prior_motion),
+            )
+
+        pose1, prior = jax.lax.cond(
+            res1.n_inliers >= 15, _motion_path, _reference_path, None
+        )
 
         # th=2: the block refreshes one chunk late (bounded staleness), so point
         # positions lag BA refinement by a few frames — the wider window recovers
         # the associations the reference finds with th=1 and a fresh map
         # (measured: 2x radius ~doubles matches on the KITTI-geometry bench)
         res2 = track_ops.track_local_map(
-            fd, res1.pose, prior, block, K=self.K, th=2.0,
+            fd, pose1, prior, block, K=self.K, th=2.0,
             num_levels=cfg.orb.num_levels, scale_factor=cfg.orb.scale_factor,
             image_wh=(cfg.camera.width, cfg.camera.height),
         )

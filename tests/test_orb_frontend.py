@@ -177,3 +177,38 @@ def test_features_per_level_sums_to_total():
     assert sum(counts) == 2000
     assert all(c > 0 for c in counts)
     assert counts[0] > counts[-1]
+
+
+def test_frontend_undistorts_keypoints(test_image):
+    """The front-end outputs undistorted coordinates when distortion coefficients
+    are set (UndistortKeyPoints, frame.cpp:614-641) and raw ones when all-zero."""
+    import dataclasses
+
+    from slam_framework_tpu.config import CameraConfig, CapacityConfig, SlamConfig
+    from slam_framework_tpu.geometry import projection
+    from slam_framework_tpu.pipeline.frame import MonoFrontend
+
+    img = jnp.asarray(test_image)
+    H, W = test_image.shape
+    base = SlamConfig(
+        camera=CameraConfig(fx=300.0, fy=300.0, cx=W / 2, cy=H / 2, width=W, height=H),
+        orb=OrbConfig(num_features=256, num_levels=4),
+        capacity=CapacityConfig(max_features=256),
+    )
+    fd_raw = MonoFrontend(base)(img)
+    dist = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera, k1=-0.1, k2=0.02, p1=1e-3, p2=-5e-4)
+    )
+    fe_d = MonoFrontend(dist)
+    fd_dist = fe_d(img)
+    # same detections (identical image), coordinates undistorted
+    expected = projection.undistort_points(
+        fd_raw.xy, fe_d.K,
+        jnp.asarray([-0.1, 0.02, 1e-3, -5e-4, 0.0], jnp.float32),
+    )
+    valid = np.asarray(fd_raw.valid)
+    np.testing.assert_allclose(
+        np.asarray(fd_dist.xy)[valid], np.asarray(expected)[valid], atol=1e-3
+    )
+    # zero-coefficient config is the identity (no extra ops traced)
+    assert np.array_equal(np.asarray(fd_raw.xy), np.asarray(MonoFrontend(base)(img).xy))

@@ -101,3 +101,77 @@ def test_trajectory_export_roundtrip(tmp_path, small_cfg, world):
         np.testing.assert_allclose(
             loaded[i][:3, 3], np.linalg.inv(est[i])[:3, 3], atol=1e-5
         )
+
+
+def test_reference_fallback_recovers_from_bad_prediction(small_cfg, world):
+    """track_reference_fallback (TrackReferenceKeyFrame, tracker.cpp:657-694):
+    global descriptor matching recovers the pose when the prediction is far off
+    (projection-window search would find nothing)."""
+    import jax.numpy as jnp
+
+    from slam_framework_tpu.pipeline import track_ops
+    from slam_framework_tpu.pipeline.frame import StereoFrontend
+
+    fe = StereoFrontend(small_cfg)
+    l, r = world.stereo_pair(5)
+    fd = fe(jnp.asarray(l), jnp.asarray(r))
+    # block = this frame's own stereo geometry in WORLD coords at the gt pose
+    T = world.poses[5].astype(np.float64)
+    host = {k: np.asarray(getattr(fd, k)) for k in ("xy", "desc", "valid", "depth")}
+    has = (host["depth"] > 0) & host["valid"]
+    z = host["depth"][has]
+    x = (host["xy"][has, 0] - fe.K.cx) * z / fe.K.fx
+    y = (host["xy"][has, 1] - fe.K.cy) * z / fe.K.fy
+    Twc = np.linalg.inv(T)
+    pos = (np.stack([x, y, z], 1) @ Twc[:3, :3].T) + Twc[:3, 3]
+    P = 2048
+    n = len(pos)
+    block = track_ops.PointBlock(
+        pos=jnp.asarray(np.pad(pos, ((0, P - n), (0, 0))).astype(np.float32)),
+        desc=jnp.asarray(np.pad(host["desc"][has], ((0, P - n), (0, 0)))),
+        normal=jnp.zeros((P, 3), jnp.float32),
+        min_dist=jnp.zeros(P, jnp.float32),
+        max_dist=jnp.full(P, 1e6, jnp.float32),
+        mask=jnp.asarray(np.arange(P) < n),
+    )
+    # last pose 3 m off and yawed — windowed projection search would miss
+    bad = T.copy()
+    bad[0, 3] += 3.0
+    bad[2, 3] -= 2.0
+    res = track_ops.track_reference_fallback(
+        fd, jnp.asarray(bad.astype(np.float32)), block, K=fe.K
+    )
+    assert int(res.n_inliers) > 100
+    est = np.asarray(res.pose, np.float64)
+    t_err = np.linalg.norm(
+        (-est[:3, :3].T @ est[:3, 3]) - (-T[:3, :3].T @ T[:3, 3])
+    )
+    assert t_err < 0.05, f"fallback pose off by {t_err:.3f} m"
+
+
+def test_tracking_survives_velocity_jerk(small_cfg, world):
+    """A backward frame jump (camera rewinds 5 frames — e.g. a stall after
+    dropped frames) breaks the constant-velocity model: the projection windows
+    land ~4 m ahead of reality and motion tracking collapses. The reference-KF
+    fallback (global descriptor matching, TrackReferenceKeyFrame semantics)
+    must recover the pose instead of going LOST.
+
+    (A forward jump into UNSEEN scenery is deliberately not tested here: the
+    synthetic world's procedural texture is too self-similar for global
+    descriptor matching across a large viewpoint change — measured 8% correct
+    matches — so that regime belongs to relocalization, which re-seeds from
+    BoW candidates + PnP.)"""
+    tracker = StereoTracker(small_cfg)
+    order = list(range(9)) + [4, 5, 6, 7, 8]
+    for f in order:
+        l, r = world.stereo_pair(f)
+        tracker.track(l, r, world.timestamps[f])
+    tracker.flush()
+    assert tracker.state == TrackingState.OK, "lost tracking across the jerk"
+    assert not tracker.records[-1].lost
+    est_last = tracker.trajectory_poses()[-1].astype(np.float64)
+    gt_last = world.poses[order[-1]].astype(np.float64)
+    err = np.linalg.norm(
+        (-est_last[:3, :3].T @ est_last[:3, 3]) - (-gt_last[:3, :3].T @ gt_last[:3, 3])
+    )
+    assert err < 0.5, f"post-jerk drift {err:.2f} m"
