@@ -111,6 +111,11 @@ class MappingConfig:
     kf_cull_min_age: int = 4                  # settle window before redundancy test
     local_ba_iters_first: int = 5             # optimizer.cpp:611
     local_ba_iters_second: int = 10           # optimizer.cpp:655
+    # Pipelined dataflow over chips (SURVEY.md §2.3 TPU mapping): run the
+    # mapper's async device programs (local BA, triangulation, fusion) on this
+    # device index so they never contend with the tracker's per-frame chip.
+    # Falls back to the default device when the index doesn't exist (1-chip).
+    device_index: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -36,6 +36,12 @@ class LocalMapper:
         self.arena = arena
         self.K = K
         self.timers = timers if timers is not None else StageTimers()
+        # Pipelined dataflow (SURVEY.md §2.3): the mapper's async programs run on
+        # a secondary chip when one exists, so local BA / triangulation / fusion
+        # never contend with the tracker's per-frame device. On a single chip
+        # this resolves to the default device (no behavior change).
+        devs = jax.devices()
+        self.device = devs[min(cfg.mapping.device_index, len(devs) - 1)]
         self.recent_points: list[tuple[int, int]] = []  # (pid, created_at_kf)
         self.on_erase_keyframe = None  # hook: notify place-recognition database
         self._jit_ba = jax.jit(
@@ -127,14 +133,15 @@ class LocalMapper:
         cand = arena.kf_feat_valid[kfs] & cand_on[:, None]
         if free_only:
             cand &= arena.kf_point_idx[kfs] < 0
+        put = lambda a: jax.device_put(a, self.device)
         return mapping_ops.KFBlock(
-            pose=jnp.asarray(arena.kf_pose[kfs]),
-            xy=jnp.asarray(arena.kf_xy[kfs]),
-            ur=jnp.asarray(arena.kf_ur[kfs]),
-            octave=jnp.asarray(arena.kf_octave[kfs].astype(np.int32)),
-            angle=jnp.asarray(arena.kf_angle[kfs]),
-            desc=jnp.asarray(arena.kf_desc[kfs]),
-            cand=jnp.asarray(cand),
+            pose=put(arena.kf_pose[kfs]),
+            xy=put(arena.kf_xy[kfs]),
+            ur=put(arena.kf_ur[kfs]),
+            octave=put(arena.kf_octave[kfs].astype(np.int32)),
+            angle=put(arena.kf_angle[kfs]),
+            desc=put(arena.kf_desc[kfs]),
+            cand=put(cand),
         )
 
     def _dispatch_triangulation(self, kf: int):
@@ -286,13 +293,14 @@ class LocalMapper:
         padded = np.concatenate([nbr_ids, np.full(Nn - len(nbr_ids), nbr_ids[0])])
         cand_on = np.arange(Nn) < len(nbr_ids)
         nbrs = self._kf_blocks(padded, cand_on, free_only=False)
+        put = lambda a: jax.device_put(a, self.device)
         res = mapping_ops.fuse_points_into_kfs(
-            jnp.asarray(arena.pt_pos[pids_pad]),
-            jnp.asarray(arena.pt_desc[pids_pad]),
-            jnp.asarray(arena.pt_normal[pids_pad]),
-            jnp.asarray(arena.pt_min_dist[pids_pad]),
-            jnp.asarray(arena.pt_max_dist[pids_pad]),
-            jnp.asarray(pmask),
+            put(arena.pt_pos[pids_pad]),
+            put(arena.pt_desc[pids_pad]),
+            put(arena.pt_normal[pids_pad]),
+            put(arena.pt_min_dist[pids_pad]),
+            put(arena.pt_max_dist[pids_pad]),
+            put(pmask),
             nbrs,
             K=self.K,
             num_levels=cfg.orb.num_levels,
@@ -508,19 +516,20 @@ class LocalMapper:
         pt_slots = np.full((P, O), -1, np.int32)
         pt_slots[pi_flat, rank] = np.arange(m, dtype=np.int32)
 
+        put = lambda a: jax.device_put(a, self.device)
         prob = local_ba.BAProblem(
-            cam_pose=jnp.asarray(cam_pose),
-            cam_fixed=jnp.asarray(cam_fixed),
-            cam_mask=jnp.asarray(cam_mask),
-            pt_pos=jnp.asarray(pt_pos),
-            pt_mask=jnp.asarray(pt_mask),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_pt=jnp.asarray(obs_pt),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_ur=jnp.asarray(obs_ur),
-            obs_inv_sigma2=jnp.asarray(obs_w),
-            obs_mask=jnp.asarray(obs_mask),
-            pt_obs_slots=jnp.asarray(pt_slots),
+            cam_pose=put(cam_pose),
+            cam_fixed=put(cam_fixed),
+            cam_mask=put(cam_mask),
+            pt_pos=put(pt_pos),
+            pt_mask=put(pt_mask),
+            obs_cam=put(obs_cam),
+            obs_pt=put(obs_pt),
+            obs_uv=put(obs_uv),
+            obs_ur=put(obs_ur),
+            obs_inv_sigma2=put(obs_w),
+            obs_mask=put(obs_mask),
+            pt_obs_slots=put(pt_slots),
         )
         res = self._jit_ba(prob)  # ASYNC dispatch — results land at flush_ba()
         self._ba_pending = {

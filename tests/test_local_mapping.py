@@ -228,3 +228,40 @@ class TestKeyFrameCulling:
         # observations of erased KFs removed from points
         for k in erased:
             assert not (arena.pt_obs_kf[np.asarray(pids)] == k).any()
+
+
+def test_mapper_programs_run_on_secondary_device(scene):
+    """Pipelined dataflow: with >1 device, the mapper's async programs live on
+    device[mapping.device_index] so they never contend with the tracker chip."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    pts, descs = scene
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=FX, fy=FY, cx=CX, cy=CY, width=320, height=240, bf=60.0),
+        capacity=CapacityConfig(max_keyframes=8, max_map_points=512, max_features=N),
+    )
+    arena = MapArena.create(cfg.capacity, N)
+    for tx in (0.0, 1.0):
+        T = _pose(tx)
+        uv, _ = _project(T, pts)
+        xy = np.zeros((N, 2), np.float32); xy[:64] = uv
+        desc = np.zeros((N, 8), np.uint32); desc[:64] = descs
+        valid = np.arange(N) < 64
+        arena.add_keyframe(
+            T, int(tx), float(tx), xy, np.full(N, -1.0, np.float32),
+            np.full(N, -1.0, np.float32), np.zeros(N, np.int16),
+            np.zeros(N, np.float32), desc, valid, np.full(N, -1, np.int32),
+        )
+    for j in range(20):
+        pid = arena.add_point(pts[j], descs[j], 0, np.array([0, 0, 1.0], np.float32), 1.0, 30.0)
+        arena.associate(0, j, pid)
+        arena.associate(1, j, pid)
+    mapper = LocalMapper(cfg, arena, K)
+    assert mapper.device == jax.devices()[cfg.mapping.device_index]
+    tri = mapper._dispatch_triangulation(1)
+    assert tri is not None
+    _, res = tri
+    assert res.pts.devices() == {mapper.device}
+    mapper._apply_triangulation(1, *tri)  # cross-device fetch works
