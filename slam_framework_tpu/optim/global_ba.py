@@ -167,7 +167,10 @@ def optimize_global(
             x, y, z, r_u, r_v, r_ur, R_cols = _project_scalars(cam_pose, pt_pos, prob, K)
             chi2 = _chi2_scalars(r_u, r_v, r_ur, z, prob, is_stereo)
             w = huber_weight(chi2, delta2) * prob.obs_inv_sigma2
-            w_uv = w * active.astype(jnp.float32)
+            # behind-camera/grazing observations: clamped 1/z makes residuals AND
+            # Jacobian rows astronomical (H ~ J^2/|r| unbounded even under Huber)
+            # — zero-weight them like optim/pose_opt.py
+            w_uv = w * active.astype(jnp.float32) * (z > 1e-2).astype(jnp.float32)
             w_ur = w_uv * is_stereo.astype(jnp.float32)
 
             du, dv, dur, _ = reproj.camera_rows(x, y, z, K)
@@ -259,8 +262,11 @@ def optimize_global(
 
             _, _, z2, ru2, rv2, rur2, _ = _project_scalars(new_cam, new_pt, prob, K)
             chi2_new = _chi2_scalars(ru2, rv2, rur2, z2, prob, is_stereo)
-            err_old = _allred(jnp.sum(jnp.where(active, jnp.minimum(chi2, 1e6), 0.0)))
-            err_new = _allred(jnp.sum(jnp.where(active, jnp.minimum(chi2_new, 1e6), 0.0)))
+            # in-front-only acceptance (see optim/local_ba.py): clamp artifacts
+            # from behind-camera observations must not veto good steps
+            cmp_ok = active & (z > 1e-2) & (z2 > 1e-2)
+            err_old = _allred(jnp.sum(jnp.where(cmp_ok, jnp.minimum(chi2, 1e6), 0.0)))
+            err_new = _allred(jnp.sum(jnp.where(cmp_ok, jnp.minimum(chi2_new, 1e6), 0.0)))
             improved = err_new < err_old
             cam_pose = jnp.where(improved, new_cam, cam_pose)
             pt_pos = jnp.where(improved, new_pt, pt_pos)

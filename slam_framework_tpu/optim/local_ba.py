@@ -212,7 +212,10 @@ def optimize(
             x, y, z, r_u, r_v, r_ur, R_cols = _project_scalars(cam_pose, pt_pos, prob, K)
             chi2 = _chi2_scalars(r_u, r_v, r_ur, z, prob, is_stereo)
             w = huber_weight(chi2, delta2) * prob.obs_inv_sigma2
-            w_uv = w * active.astype(jnp.float32)
+            # behind-camera/grazing observations: clamped 1/z makes residuals AND
+            # Jacobian rows astronomical (H ~ J^2/|r| unbounded even under Huber)
+            # — zero-weight them like optim/pose_opt.py
+            w_uv = w * active.astype(jnp.float32) * (z > 1e-2).astype(jnp.float32)
             w_ur = w_uv * is_stereo.astype(jnp.float32)
 
             du, dv, dur, _ = reproj.camera_rows(x, y, z, K)
@@ -322,8 +325,12 @@ def optimize(
 
             _, _, z_new, ru_n, rv_n, rur_n, _ = _project_scalars(new_cam, new_pt, prob, K)
             chi2_new = _chi2_scalars(ru_n, rv_n, rur_n, z_new, prob, is_stereo)
-            err_old = jnp.sum(jnp.where(active, jnp.minimum(chi2, 1e6), 0.0))
-            err_new = jnp.sum(jnp.where(active, jnp.minimum(chi2_new, 1e6), 0.0))
+            # acceptance compares only in-front observations on BOTH sides:
+            # behind-camera chi2 is a clamp artifact, and an obs flipping across
+            # z=0 injects +-1e6 jumps that reject genuinely good steps
+            cmp_ok = active & (z > 1e-2) & (z_new > 1e-2)
+            err_old = jnp.sum(jnp.where(cmp_ok, jnp.minimum(chi2, 1e6), 0.0))
+            err_new = jnp.sum(jnp.where(cmp_ok, jnp.minimum(chi2_new, 1e6), 0.0))
             improved = err_new < err_old
             cam_pose = jnp.where(improved, new_cam, cam_pose)
             pt_pos = jnp.where(improved, new_pt, pt_pos)

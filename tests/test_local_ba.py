@@ -133,3 +133,20 @@ def test_local_ba_mono_only(rng):
     res = local_ba.optimize(prob, K)
     errs = cam_errors(res, poses_true, n_cams)
     assert errs.max() < 0.02, errs
+
+
+def test_local_ba_tolerates_behind_camera_init(rng):
+    """A landmark initialized BEHIND a camera (possible after loop correction /
+    bad triangulation) must not poison the solve: its clamped-1/z residual and
+    Jacobian rows are zero-weighted, and the rest converges as usual."""
+    prob, poses_true, pts_true, n_cams, _ = build_problem(rng)
+    # drag some points behind every camera (z < 0 in all views)
+    pt_pos = np.asarray(prob.pt_pos).copy()
+    pt_pos[:5] = np.array([0.0, 0.0, -20.0], np.float32)
+    prob = prob._replace(pt_pos=jnp.asarray(pt_pos))
+    res = local_ba.optimize(prob, K=K)
+    err = cam_errors(res, poses_true, 6)
+    assert np.isfinite(np.asarray(res.cam_pose)).all()
+    # same statistical floor as the clean problem (test_local_ba_reduces_error:
+    # 0.3 px noise -> ~9 mm cam floor); without the z-gating the solve is poisoned
+    assert err.max() < 0.02, f"behind-camera points poisoned the solve: {err.max()}"
