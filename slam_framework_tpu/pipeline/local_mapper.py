@@ -339,25 +339,44 @@ class LocalMapper:
             nbr = int(nbr)
             if not arena.kf_valid[nbr]:
                 continue
-            for f in np.nonzero(assoc[n] >= 0)[0]:
-                pid = int(pids_pad[assoc[n, f]])
-                if not arena.pt_valid[pid]:
+            feats = np.nonzero(assoc[n] >= 0)[0]
+            if len(feats) == 0:
+                continue
+            cand = pids_pad[assoc[n, feats]]
+            alive = arena.pt_valid[cand]
+            feats, cand = feats[alive], cand[alive]
+            existing = arena.kf_point_idx[nbr, feats]
+            differs = existing != cand
+            feats, cand, existing = feats[differs], cand[differs], existing[differs]
+            bound = (existing >= 0) & arena.pt_valid[np.maximum(existing, 0)]
+
+            # free features: one vectorized associate_batch. "Already observed in
+            # this keyframe" = pid present in the keyframe's binding row (bindings
+            # and observations are kept in lockstep by the arena).
+            f_free, p_free = feats[~bound], cand[~bound]
+            if len(p_free):
+                row = arena.kf_point_idx[nbr]
+                seen = np.zeros(arena.num_pts, bool)
+                seen[row[row >= 0]] = True
+                keep = ~seen[p_free]
+                f_free, p_free = f_free[keep], p_free[keep]
+                _, first = np.unique(p_free, return_index=True)  # pid once per call
+                first = np.sort(first)
+                f_free, p_free = f_free[first], p_free[first]
+                if len(p_free):
+                    arena.associate_batch(nbr, f_free, p_free.astype(np.int64))
+                    n_added += len(p_free)
+
+            # bound features: duplicate landmarks — merge (rare; loop is fine)
+            for f, pid, ex in zip(feats[bound], cand[bound], existing[bound]):
+                pid, ex = int(pid), int(ex)
+                if not arena.pt_valid[pid] or not arena.pt_valid[ex] or pid == ex:
                     continue  # merged away earlier in this pass
-                existing = int(arena.kf_point_idx[nbr, f])
-                if existing == pid:
-                    continue
-                if existing >= 0 and arena.pt_valid[existing]:
-                    if arena.pt_obs_count[existing] >= arena.pt_obs_count[pid]:
-                        arena.merge_points(int(existing), pid)
-                    else:
-                        arena.merge_points(pid, int(existing))
-                    n_merged += 1
+                if arena.pt_obs_count[ex] >= arena.pt_obs_count[pid]:
+                    arena.merge_points(ex, pid)
                 else:
-                    c = int(arena.pt_obs_count[pid])
-                    if (arena.pt_obs_kf[pid, :c] == nbr).any():
-                        continue  # already observed in this keyframe at another feature
-                    arena.associate(nbr, int(f), pid)
-                    n_added += 1
+                    arena.merge_points(pid, ex)
+                n_merged += 1
         self.last_fuse = {
             "neighbors": len(nbr_ids), "added_obs": n_added, "merged": n_merged,
         }
