@@ -104,6 +104,9 @@ class LoopCloser:
         self.loop_edges: List[Tuple[int, int, dict]] = []  # (kf_a, kf_b, S_ab host Sim3)
         self.n_loops_closed = 0
         self.last_report: dict = {}
+        self._gba_pending = None   # in-flight async global BA (see apply_pending_gba)
+        self._jit_gba = None
+        self._jit_gba_shape = None
         self._key = jax.random.PRNGKey(7)
         self._tables = vocab.device_tables() if vocab else None
 
@@ -460,17 +463,117 @@ class LoopCloser:
             kf, loop_kf, pre_pose, corrected, pre_covis, loop_connections
         )
 
-        # --- follow-up global BA (RunGlobalBundleAdjustment, loop_closer.cpp:73-172;
-        # the reference detaches a thread and merges later via the spanning tree —
-        # here the pipeline is sequenced, so the refinement applies in place) ---
+        # --- follow-up global BA (RunGlobalBundleAdjustment, loop_closer.cpp:73-172):
+        # ASYNC like the reference's detached thread — dispatched here, tracking
+        # continues, and the result is merged at a later keyframe via
+        # apply_pending_gba (spanning-tree-style correction for keyframes/points
+        # created while it was in flight). A newer loop closure aborts the
+        # in-flight result (the reference's stop_global_bundle_adj_ flag).
         if cfg.loop.run_global_ba:
-            from slam_framework_tpu.optim import global_ba
-
-            gba = global_ba.run_global_ba(
-                self.arena, cfg, self.K, iters=(0, cfg.loop.global_ba_iters)
-            )
-            self.last_report.update({"gba": gba})
+            self._gba_pending = None  # abort any stale in-flight GBA
+            self._dispatch_global_ba()
         self.last_report.update({"fused": n_fused, "group": len(group)})
+
+    # ------------------------------------------------------------------ async global BA
+
+    def _dispatch_global_ba(self) -> None:
+        from slam_framework_tpu.optim import global_ba
+
+        arena = self.arena
+        prob, cams, pids = global_ba.build_global_problem(arena, self.cfg)
+        if self._jit_gba is None or self._jit_gba_shape != (
+            prob.cam_pose.shape, prob.pt_pos.shape, prob.obs_cam.shape
+        ):
+            import functools
+
+            self._jit_gba = jax.jit(
+                functools.partial(
+                    global_ba.optimize_global,
+                    K=self.K,
+                    iters_first=0,
+                    iters_second=self.cfg.loop.global_ba_iters,
+                )
+            )
+            self._jit_gba_shape = (
+                prob.cam_pose.shape, prob.pt_pos.shape, prob.obs_cam.shape
+            )
+        res = self._jit_gba(prob)
+        self._gba_pending = {
+            "res": res,
+            "cams": np.asarray(cams),
+            "pids": np.asarray(pids),
+            "n_kfs": arena.num_kfs,
+            "n_pts": arena.num_pts,
+        }
+
+    def apply_pending_gba(self) -> bool:
+        """Merge an in-flight global BA into the (possibly grown) map — the
+        reference's RunGlobalBundleAdjustment merge step (loop_closer.cpp:87-171):
+        keyframes in the problem adopt the GBA pose; keyframes created while it
+        ran are corrected through their strongest covisible parent in the problem
+        (spanning-tree child update); points in the problem adopt GBA positions;
+        younger points are corrected through their first observing keyframe.
+        Returns True if a result was applied."""
+        pending = self._gba_pending
+        if pending is None:
+            return False
+        self._gba_pending = None
+        arena = self.arena
+        res = pending["res"]
+        new_cam, new_pt, total_chi2 = jax.device_get(
+            [res.cam_pose, res.pt_pos, res.total_chi2]
+        )
+        cams, pids = pending["cams"], pending["pids"]
+        cam_rank = {int(c): i for i, c in enumerate(cams)}
+        n_now = arena.num_kfs
+
+        # 1. post-GBA pose for every live keyframe
+        post = {}
+        for c, i in cam_rank.items():
+            if arena.kf_valid[c]:
+                post[c] = new_cam[i].astype(np.float64)
+        in_prob = set(post)
+        for c in range(n_now):
+            if not arena.kf_valid[c] or c in in_prob:
+                continue
+            counts = arena.covisibility_counts(c)
+            parents = [k for k in np.argsort(-counts) if int(k) in in_prob and counts[k] > 0]
+            if not parents:
+                continue  # disconnected newborn: leave untouched
+            parent = int(parents[0])
+            T_rel = arena.kf_pose[c].astype(np.float64) @ np.linalg.inv(
+                arena.kf_pose[parent].astype(np.float64)
+            )
+            post[c] = T_rel @ post[parent]
+
+        # 2. points created after dispatch (or outside the problem): correct
+        # through their first observing keyframe's current->post transform.
+        # (Uses CURRENT poses as 'pre', so run before the pose write-back.)
+        prob_pids = set(int(p) for p in pids)
+        for pid in range(arena.num_pts):
+            if not arena.pt_valid[pid] or pid in prob_pids:
+                continue
+            k = int(arena.pt_obs_kf[pid, 0])
+            if k < 0 or k not in post:
+                continue
+            T_pre = arena.kf_pose[k].astype(np.float64)
+            X = arena.pt_pos[pid].astype(np.float64)
+            Xc = T_pre[:3, :3] @ X + T_pre[:3, 3]
+            Tp = post[k]
+            arena.pt_pos[pid] = (Tp[:3, :3].T @ (Xc - Tp[:3, 3])).astype(np.float32)
+
+        # 3. problem points adopt GBA positions
+        alive = arena.pt_valid[pids]
+        arena.pt_pos[pids[alive]] = new_pt[: len(pids)][alive]
+
+        # 4. keyframe poses
+        for c, T in post.items():
+            arena.kf_pose[c] = T.astype(np.float32)
+        self.last_report.update(
+            {"gba": {"cams": len(cams), "points": len(pids),
+                     "chi2": float(total_chi2), "merged_kfs": len(post) - len(in_prob)}}
+        )
+        return True
 
     # ------------------------------------------------------------------ pose graph
 

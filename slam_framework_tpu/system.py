@@ -94,6 +94,8 @@ class SlamSystem:
         if self.publisher is not None:
             self.publisher.stop()
         self.tracker.flush()
+        if self.loop_closer is not None:
+            self.loop_closer.apply_pending_gba()
         return {
             "frames": len(self.tracker.records),
             "keyframes": self.arena.n_valid_kfs,
@@ -194,9 +196,13 @@ class SlamSystem:
                 bow = self.loop_closer.compute_bow(k)
                 self.loop_closer.bow_frames[k] = bow
                 self.loop_closer.db.add(k, bow)
-        # 2. loop detection/correction for this keyframe (needs settled poses)
+        # 2. merge an async global BA from a PREVIOUS loop closure, then run loop
+        # detection/correction for this keyframe (both need settled poses)
         self.tracker.local_mapper.finalize()
         pre = self.arena.kf_pose[kf].copy()
+        if self.loop_closer.apply_pending_gba():
+            self._apply_world_correction(pre, self.arena.kf_pose[kf])
+            pre = self.arena.kf_pose[kf].copy()
         closed = self.loop_closer.process_keyframe(kf)
         if closed:
             self._apply_world_correction(pre, self.arena.kf_pose[kf])
@@ -232,7 +238,7 @@ class SlamSystem:
         slam_system.h:59-61, implemented: the array map is a direct dump)."""
         from slam_framework_tpu.io import checkpoint
 
-        self.tracker.flush()
+        self._settle()
         checkpoint.save_map(path, self.arena, self.tracker.records, self.vocab)
 
     def load_map(self, path: str) -> None:
@@ -263,16 +269,23 @@ class SlamSystem:
 
     def save_trajectory_kitti(self, path: str) -> None:
         """Per-frame camera trajectory in KITTI format (slam_system.cpp:264-314)."""
-        self.tracker.flush()
+        self._settle()
         trajectory.save_kitti(path, self.tracker.trajectory_poses())
 
     def save_keyframe_trajectory(self, path: str) -> None:
         """Keyframe-only trajectory (slam_system.cpp:316-349)."""
-        self.tracker.flush()
+        self._settle()
         arena = self.arena
         kfs = np.nonzero(arena.kf_valid[: arena.num_kfs])[0]
         trajectory.save_kitti(path, arena.kf_pose[kfs])
 
     def frame_poses(self) -> np.ndarray:
-        self.tracker.flush()
+        self._settle()
         return self.tracker.trajectory_poses()
+
+    def _settle(self) -> None:
+        """Drain ALL in-flight device work (tracker chunks, mapper BA/tri/fuse,
+        async global BA) so exported state is final."""
+        self.tracker.flush()
+        if self.loop_closer is not None:
+            self.loop_closer.apply_pending_gba()

@@ -153,3 +153,29 @@ class TestLoopCloser:
         closer = LoopCloser(cfg, arena, K, vocab)
         for k in range(N_PER_LAP):
             assert not closer.process_keyframe(k)
+
+    def test_async_global_ba_merges_later(self, world):
+        """RunGlobalBundleAdjustment is async (loop_closer.cpp:73-172): the GBA
+        dispatched at loop closure is merged at a later apply_pending_gba() call,
+        with keyframes/points outside the problem corrected through their
+        covisible parents."""
+        cfg, K, arena, gt_poses = _build_two_lap_arena(world)
+        vocab = vocabulary.train(world[1], k=6, depth=3, seed=0)
+        closer = LoopCloser(cfg, arena, K, vocab)
+        closed_at = None
+        for k in range(arena.num_kfs):
+            if closer.process_keyframe(k):
+                closed_at = k
+                break
+        assert closed_at is not None
+        assert closer._gba_pending is not None, "GBA should be in flight"
+        assert closer.apply_pending_gba()
+        assert closer._gba_pending is None
+        assert "gba" in closer.last_report
+        assert np.isfinite(closer.last_report["gba"]["chi2"])
+        # applying must not degrade the corrected trajectory
+        lap2 = np.arange(N_PER_LAP, N_PER_LAP + (closed_at - N_PER_LAP + 1))
+        err = _center_errors(arena, gt_poses, lap2)
+        assert err.max() < 0.15, f"GBA merge degraded the loop correction: {err.max():.3f}"
+        # second apply is a no-op
+        assert not closer.apply_pending_gba()
