@@ -13,6 +13,13 @@ edge-padding; every caller masks a >= 16 px border afterwards
 (ops/extractor.py DETECT_MARGIN, reference orb_extractor.cpp:707-713), so the
 difference is never observable.
 
+Batching: callers vmap the whole front-end over frame chunks. Pallas's generic
+vmap rule inserts the batch dimension in a position Mosaic's (8, 128) tiling
+rules reject (batch lands second-to-minor with block size 1), so vmap is routed
+through `jax.custom_batching.custom_vmap` to a natively batched pallas_call
+whose grid is (batch, strips) and whose blocks keep the image's (rows, cols) as
+the two minor dimensions.
+
 Reference for behavior: cv::FAST calls in ORBextractor::Compute
 (src/orb_features/orb_extractor.cpp:750-757); see ops/fast.py for the strength
 -map semantics shared by both implementations.
@@ -69,11 +76,11 @@ def _strength_rows(tile: jnp.ndarray, n_rows: int, row0: int) -> jnp.ndarray:
 
 
 def _kernel(img_ref, out_ref, *, strip: int):
-    """img_ref is the image pre-padded by _HALO rows top and bottom, so every
-    strip reads [i*strip, strip + 2*_HALO) rows and all in-tile offsets are
+    """img_ref block is one whole pre-padded image (1, Hp + 2*_HALO, W); every
+    strip reads [i*strip, strip + 2*_HALO) rows so all in-tile offsets are
     static."""
-    i = pl.program_id(0)
-    tile = img_ref[pl.ds(i * strip, strip + 2 * _HALO), :]
+    i = pl.program_id(1)
+    tile = img_ref[0, pl.ds(i * strip, strip + 2 * _HALO), :]
     # strength on strip + 1-row halo each side (for NMS vertical neighbors):
     # image rows [i*strip - 1, i*strip + strip + 1) = tile rows [_HALO-1, ...)
     s = _strength_rows(tile, strip + 2, _HALO - 1)
@@ -88,31 +95,58 @@ def _kernel(img_ref, out_ref, *, strip: int):
                 n = _roll_cols(n, -dx)
             neigh.append(n)
     keep = center > functools.reduce(jnp.maximum, neigh)
-    out_ref[:] = jnp.where(keep, center, 0.0)
+    out_ref[0, :, :] = jnp.where(keep, center, 0.0)
 
 
-def fast_nms_strength(img: jnp.ndarray) -> jnp.ndarray:
-    """NMS'd FAST-9 strength map, (H, W) f32 -> (H, W) f32.
-
-    Equivalent to fast.nms3x3(fast.fast_strength_map(img)) away from the border.
-    """
-    H, W = img.shape
+def _batched_impl(imgs: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) f32 -> (B, H, W) f32 NMS'd strength maps."""
+    B, H, W = imgs.shape
     strip = _STRIP
     n_strips = pl.cdiv(H, strip)
     pad_h = n_strips * strip - H
     # halo rows top and bottom keep every strip's read statically shaped; the
     # padding rows produce garbage strengths that the caller's border mask kills
-    img = jnp.pad(img.astype(jnp.float32), ((_HALO, _HALO + pad_h), (0, 0)))
+    imgs = jnp.pad(imgs.astype(jnp.float32), ((0, 0), (_HALO, _HALO + pad_h), (0, 0)))
     Hp = n_strips * strip
+    # The input block is the whole padded image with an index map constant in
+    # the strip index, so Pallas keeps it resident in VMEM across the inner
+    # grid dimension (one HBM fetch per image, not per strip).
     out = pl.pallas_call(
         functools.partial(_kernel, strip=strip),
-        out_shape=jax.ShapeDtypeStruct((Hp, W), jnp.float32),
-        grid=(n_strips,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W), jnp.float32),
+        grid=(B, n_strips),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Hp + 2 * _HALO, W), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
         out_specs=pl.BlockSpec(
-            (strip, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, strip, W), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
+        # The resident whole-image input block (~2 MB at KITTI level 0) plus
+        # double-buffered output strips brushes the default 16 MB scoped-VMEM
+        # ceiling at batch >= 2; v5e has 128 MB of VMEM, so raise the cap.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         # Mosaic needs a real TPU; the CPU test mesh runs the interpreter.
         interpret=jax.default_backend() == "cpu",
-    )(img)
-    return out[:H]
+    )(imgs)
+    return out[:, :H]
+
+
+@jax.custom_batching.custom_vmap
+def fast_nms_strength(img: jnp.ndarray) -> jnp.ndarray:
+    """NMS'd FAST-9 strength map, (H, W) f32 -> (H, W) f32.
+
+    Equivalent to fast.nms3x3(fast.fast_strength_map(img)) away from the border.
+    """
+    return _batched_impl(img[None])[0]
+
+
+@fast_nms_strength.def_vmap
+def _fast_nms_strength_vmap(axis_size, in_batched, img):
+    del axis_size
+    (batched,) = in_batched
+    if not batched:
+        return fast_nms_strength(img), False
+    return _batched_impl(img), True
