@@ -14,9 +14,10 @@ Here ALL hypotheses for BOTH models are solved in one program:
   - model selection with the same RH rule;
   - E decomposed into 4 motions, validated by batched triangulation (cheirality both
     views, reprojection, parallax), reproducing CheckRT's accept rules.
-Planar-dominant scenes (H selected) are reported for retry — matching the practical
-behavior of deferring initialization a few frames rather than the Faugeras 8-motion
-decomposition (TODO: ReconstructH parity).
+Planar-dominant scenes (H selected) are reconstructed with the Faugeras SVD-based
+8-motion decomposition (ReconstructH :568-736) validated by the same batched
+triangulation checks; both model paths run in the one program and the RH rule picks
+which result is returned.
 """
 
 from __future__ import annotations
@@ -131,6 +132,92 @@ def _transfer_chi2_H(Hm, x1, x2, K: Intrinsics):
     return (xfer(Hm, p1, p2) + xfer(Hinv, p2, p1)) * (K.fx**2) * 0.5
 
 
+def _decompose_H(Hn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Faugeras SVD decomposition of a normalized homography into 8 (R, t) motions.
+
+    Reference: Initializer::ReconstructH, initializer.cpp:568-736. Hn maps normalized
+    coordinates (K factored out), so Hn ~ R + t n^T / d directly. Near-degenerate
+    spectra (d1~d2 or d2~d3, e.g. pure rotation) produce motions that the downstream
+    cheirality/parallax validation rejects, matching the reference's early-out.
+    Returns Rs (8,3,3), ts (8,3) with unit-norm translations.
+    """
+    U, d, Vt = jnp.linalg.svd(Hn)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = d[0], d[1], d[2]
+    denom13 = jnp.maximum(d1 * d1 - d3 * d3, 1e-12)
+    aux1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / denom13, 0.0))
+    aux3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / denom13, 0.0))
+    eps1 = jnp.asarray([1.0, 1.0, -1.0, -1.0])
+    eps3 = jnp.asarray([1.0, -1.0, 1.0, -1.0])
+    x1v = eps1 * aux1
+    x3v = eps3 * aux3
+    zero4 = jnp.zeros(4)
+    one4 = jnp.ones(4)
+
+    def rot_y(c, sgn_s, flip):
+        # (4,3,3); flip=+1: [[c,0,-s],[0,1,0],[s,0,c]]; flip=-1: [[c,0,s],[0,-1,0],[s,0,-c]]
+        c4 = c * one4
+        r = jnp.stack(
+            [
+                jnp.stack([c4, zero4, -flip * sgn_s], -1),
+                jnp.stack([zero4, flip * one4, zero4], -1),
+                jnp.stack([sgn_s, zero4, flip * c4], -1),
+            ],
+            axis=-2,
+        )
+        return r
+
+    # case d' = +d2 (initializer.cpp:597-635)
+    den_t = jnp.maximum((d1 + d3) * d2, 1e-12)
+    sin_t = eps1 * eps3 * jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) / den_t
+    cos_t = (d2 * d2 + d1 * d3) / den_t
+    Rp_pos = rot_y(cos_t, sin_t, 1.0)
+    tp_pos = (d1 - d3) * jnp.stack([x1v, zero4, -x3v], -1)
+    # case d' = -d2 (initializer.cpp:637-676)
+    den_p = jnp.where(jnp.abs((d1 - d3) * d2) < 1e-12, 1e-12, (d1 - d3) * d2)
+    sin_p = eps1 * eps3 * jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) / den_p
+    cos_p = (d1 * d3 - d2 * d2) / den_p
+    Rp_neg = rot_y(cos_p, sin_p, -1.0)
+    tp_neg = (d1 + d3) * jnp.stack([x1v, zero4, x3v], -1)
+
+    Rp = jnp.concatenate([Rp_pos, Rp_neg], axis=0)  # (8,3,3)
+    tp = jnp.concatenate([tp_pos, tp_neg], axis=0)  # (8,3)
+    Rs = s * _einsum("ij,mjk,kl->mil", U, Rp, Vt)
+    ts = _einsum("ij,mj->mi", U, tp)
+    ts = ts / jnp.maximum(jnp.linalg.norm(ts, axis=-1, keepdims=True), 1e-12)
+    return Rs, ts
+
+
+def _check_motions(Rs, ts, x1, x2, mask, K: Intrinsics, sigma, min_parallax_deg):
+    """CheckRT (initializer.cpp:804-922) batched over M motion hypotheses.
+
+    Triangulates every match under each motion, validates cheirality in both views,
+    reprojection error and parallax. Returns (pts (M,N,3), good (M,N), ngood (M,))."""
+    M, N = Rs.shape[0], x1.shape[0]
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)[None]
+    P2 = jnp.concatenate([Rs, ts[..., None]], axis=-1)  # (M, 3, 4)
+    pts = triangulation.triangulate_dlt(
+        jnp.broadcast_to(P1, (M, 3, 4)), P2,
+        jnp.broadcast_to(x1[None], (M, N, 2)), jnp.broadcast_to(x2[None], (M, N, 2)),
+    )  # (M, N, 3) in frame-1 coords
+    z1 = pts[..., 2]
+    Xc2 = _einsum("mij,mnj->mni", Rs, pts) + ts[:, None, :]
+    z2 = Xc2[..., 2]
+    e1 = jnp.sum((pts[..., :2] / jnp.where(jnp.abs(z1[..., None]) < 1e-9, 1e-9, z1[..., None]) - x1[None]) ** 2, -1) * K.fx**2
+    e2 = jnp.sum((Xc2[..., :2] / jnp.where(jnp.abs(z2[..., None]) < 1e-9, 1e-9, z2[..., None]) - x2[None]) ** 2, -1) * K.fx**2
+    cosp = triangulation.parallax_cosine(
+        jnp.zeros((M, 3)), -_einsum("mji,mj->mi", Rs, ts), pts
+    )
+    good = (
+        (z1 > 0) & (z2 > 0)
+        & (e1 < 4.0 * sigma**2) & (e2 < 4.0 * sigma**2)
+        & (cosp < jnp.cos(jnp.deg2rad(min_parallax_deg) * 0.5))
+        & mask[None]
+    )
+    ngood = jnp.sum(good.astype(jnp.int32), axis=1)
+    return pts, good, ngood
+
+
 def initialize_two_view(
     uv1: jnp.ndarray,     # (N, 2) pixels in frame 1
     uv2: jnp.ndarray,     # (N, 2) matched pixels in frame 2
@@ -175,7 +262,7 @@ def initialize_two_view(
     RH = SH / jnp.maximum(SH + SF, 1e-9)
     is_planar = RH > 0.40  # initializer.cpp:95
 
-    # --- decompose best E into 4 motions; validate by triangulation ---
+    # --- decompose best E into 4 motions (ReconstructF :459-566) ---
     Eb = E[best_e]
     U, _, Vt = jnp.linalg.svd(Eb)
     # enforce proper rotations
@@ -186,37 +273,26 @@ def initialize_two_view(
     R2 = U @ Wm.T @ Vt
     tu = U[:, 2]
     tu = tu / jnp.maximum(jnp.linalg.norm(tu), 1e-12)
-    Rs = jnp.stack([R1, R1, R2, R2])
-    ts = jnp.stack([tu, -tu, tu, -tu])
+    Rs_e = jnp.stack([R1, R1, R2, R2])
+    ts_e = jnp.stack([tu, -tu, tu, -tu])
 
-    # triangulate all matches under each motion (frame1 = identity)
-    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)[None]
-    P2 = jnp.concatenate([Rs, ts[..., None]], axis=-1)  # (4, 3, 4)
-    pts = triangulation.triangulate_dlt(
-        jnp.broadcast_to(P1, (4, 3, 4)), P2, jnp.broadcast_to(x1[None], (4, N, 2)), jnp.broadcast_to(x2[None], (4, N, 2))
-    )  # (4, N, 3) in frame-1 coords (normalized projection matrices)
-    z1 = pts[..., 2]
-    Xc2 = _einsum("mij,mnj->mni", Rs, pts) + ts[:, None, :]
-    z2 = Xc2[..., 2]
-    # reprojection errors (pixel)
-    e1 = jnp.sum((pts[..., :2] / jnp.where(jnp.abs(z1[..., None]) < 1e-9, 1e-9, z1[..., None]) - x1[None]) ** 2, -1) * K.fx**2
-    e2 = jnp.sum((Xc2[..., :2] / jnp.where(jnp.abs(z2[..., None]) < 1e-9, 1e-9, z2[..., None]) - x2[None]) ** 2, -1) * K.fx**2
-    cosp = triangulation.parallax_cosine(
-        jnp.zeros((4, 3)), -_einsum("mji,mj->mi", Rs, ts), pts
-    )
-    good = (
-        (z1 > 0) & (z2 > 0)
-        & (e1 < 4.0 * sigma**2) & (e2 < 4.0 * sigma**2)
-        & (cosp < jnp.cos(jnp.deg2rad(min_parallax_deg) * 0.5))
-        & mask[None]
-    )
-    ngood = jnp.sum(good.astype(jnp.int32), axis=1)
-    best_m = jnp.argmax(ngood)
-    n_best = ngood[best_m]
-    # reference: clear winner + enough points (initializer.cpp:528-560)
-    sorted_counts = jnp.sort(ngood)
-    second = sorted_counts[-2]
-    ok = (~is_planar) & (n_best >= min_good) & (second.astype(jnp.float32) < 0.75 * n_best.astype(jnp.float32))
+    # --- decompose best H into 8 motions (ReconstructH :568-736) ---
+    best_h = jnp.argmax(score_h)
+    Rs_h, ts_h = _decompose_H(Hm[best_h])
+
+    # Validate all 12 motions with the shared CheckRT program; the RH rule then
+    # selects which model's winner is returned (initializer.cpp:92-98).
+    Rs = jnp.concatenate([Rs_e, Rs_h], axis=0)   # (12,3,3)
+    ts = jnp.concatenate([ts_e, ts_h], axis=0)
+    pts, good, ngood = _check_motions(Rs, ts, x1, x2, mask, K, sigma, min_parallax_deg)
+    model_h = jnp.arange(12) >= 4
+    ngood_model = jnp.where(model_h == is_planar, ngood, -1)
+    best_m = jnp.argmax(ngood_model)
+    n_best = ngood_model[best_m]
+    # reference: clear winner + enough points (ReconstructF :528-560; ReconstructH
+    # requires a unique winner among the 8, :706-735)
+    second = jnp.sort(ngood_model)[-2]
+    ok = (n_best >= min_good) & (second.astype(jnp.float32) < 0.75 * n_best.astype(jnp.float32))
     return InitResult(
         R=Rs[best_m],
         t=ts[best_m],

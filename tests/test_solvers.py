@@ -116,6 +116,35 @@ def test_mono_initializer_recovers_motion(rng):
     assert np.median(err) < 3.0  # pre-BA mono accuracy
 
 
+def test_mono_initializer_planar_scene(rng):
+    """Planar-dominant scene: the H model wins (RH > 0.40) and the Faugeras
+    decomposition (ReconstructH, initializer.cpp:568-736) recovers the motion."""
+    n = 300
+    # points on a plane z = 12 + 0.2x + 0.1y with small jitter
+    x = rng.uniform(-15, 15, n)
+    y = rng.uniform(-5, 5, n)
+    z = 12.0 + 0.2 * x + 0.1 * y + rng.normal(0, 0.01, n)
+    pts = np.stack([x, y, z], -1).astype(np.float32)
+    R_true = np.asarray(se3.so3_exp(jnp.asarray([0.02, -0.04, 0.01])))
+    t_true = np.array([0.8, -0.1, 0.3], np.float32)
+
+    def proj(P):
+        return np.stack([K.fx * P[:, 0] / P[:, 2] + K.cx, K.fy * P[:, 1] / P[:, 2] + K.cy], -1)
+
+    uv1 = proj(pts) + rng.normal(0, 0.3, (n, 2))
+    Xc2 = (R_true @ pts.T).T + t_true
+    uv2 = proj(Xc2) + rng.normal(0, 0.3, (n, 2))
+    res = initializer.initialize_two_view(
+        jnp.asarray(uv1, dtype=jnp.float32), jnp.asarray(uv2, dtype=jnp.float32),
+        jnp.ones(n, bool), K, jax.random.PRNGKey(5),
+    )
+    assert bool(res.is_planar)
+    assert bool(res.ok), int(res.n_good)
+    np.testing.assert_allclose(np.asarray(res.R), R_true, atol=2e-2)
+    t_dir = t_true / np.linalg.norm(t_true)
+    assert abs(float(np.dot(np.asarray(res.t), t_dir))) > 0.95
+
+
 def test_mono_initializer_rejects_pure_rotation(rng):
     """No parallax -> should not return ok (degenerate for triangulation)."""
     n = 200
