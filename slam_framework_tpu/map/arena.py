@@ -237,6 +237,50 @@ class MapArena:
         self.pt_obs_count[pid] = 0
         self.pt_valid[pid] = False
 
+    def remove_observations_batch(self, pids: np.ndarray, kfs: np.ndarray) -> None:
+        """Vectorized _remove_observation over (pid, kf) pairs (pids may repeat
+        with different kfs). Does NOT touch kf_point_idx bindings — callers unbind
+        first (they know which feature row to clear)."""
+        if len(pids) == 0:
+            return
+        pids = np.asarray(pids, np.int64)
+        kfs = np.asarray(kfs, np.int64)
+        upids = np.unique(pids)
+        K = np.int64(self.cap.max_keyframes)
+        obs_kf = self.pt_obs_kf[upids]                      # (n, O) int32
+        keys = upids[:, None] * K + obs_kf                  # unique per (pid, kf)
+        rm_keys = pids * K + kfs
+        has = obs_kf >= 0
+        keep = has & ~np.isin(keys, rm_keys)
+        # stable-compact kept slots to the front of each row
+        order = np.argsort(~keep, axis=1, kind="stable")
+        new_kf = np.take_along_axis(obs_kf, order, axis=1)
+        new_ft = np.take_along_axis(self.pt_obs_feat[upids], order, axis=1)
+        cnt = keep.sum(axis=1).astype(np.int32)
+        col = np.arange(obs_kf.shape[1], dtype=np.int32)[None, :] < cnt[:, None]
+        self.pt_obs_kf[upids] = np.where(col, new_kf, -1)
+        self.pt_obs_feat[upids] = np.where(col, new_ft, -1)
+        self.pt_obs_count[upids] = cnt
+
+    def erase_points_batch(self, pids: np.ndarray) -> None:
+        """Vectorized erase_point: detach every observation of each pid from its
+        keyframe binding row, clear the obs tables, mark invalid."""
+        if len(pids) == 0:
+            return
+        pids = np.asarray(pids, np.int64)
+        obs_kf = self.pt_obs_kf[pids]
+        obs_ft = self.pt_obs_feat[pids]
+        has = obs_kf >= 0
+        k = obs_kf[has].astype(np.int64)
+        f = obs_ft[has].astype(np.int64)
+        owner = np.repeat(pids, has.sum(axis=1))  # row-major like obs_kf[has]
+        match = self.kf_point_idx[k, f] == owner
+        self.kf_point_idx[k[match], f[match]] = -1
+        self.pt_obs_kf[pids] = -1
+        self.pt_obs_feat[pids] = -1
+        self.pt_obs_count[pids] = 0
+        self.pt_valid[pids] = False
+
     def _add_observation(self, pid: int, kf: int, feat: int) -> None:
         c = int(self.pt_obs_count[pid])
         if c >= self.cap.max_obs_per_point:

@@ -45,44 +45,39 @@ def shard_problem(prob: GlobalBAProblem, n_shards: int) -> GlobalBAProblem:
     """
     pt_mask = np.asarray(prob.pt_mask)
     obs_mask = np.asarray(prob.obs_mask)
-    obs_pt = np.asarray(prob.obs_pt)
     obs_cam = np.asarray(prob.obs_cam)
     pt_slots = np.asarray(prob.pt_obs_slots)
     C = prob.cam_pose.shape[0]
     O = pt_slots.shape[1]
-
-    pids = np.nonzero(pt_mask)[0]
-    owner_of = {}
-    shard_pts = [[] for _ in range(n_shards)]
-    for n_, p in enumerate(pids):
-        s = n_ % n_shards
-        shard_pts[s].append(p)
-        owner_of[p] = s
-
-    P_s = _next_pow2(max(max((len(sp) for sp in shard_pts), default=1), 1))
-    # collect per-shard observations (a point's obs all go to its owner)
-    shard_obs = [[] for _ in range(n_shards)]
-    for s in range(n_shards):
-        for p in shard_pts[s]:
-            for o in pt_slots[p]:
-                if o >= 0 and obs_mask[o]:
-                    shard_obs[s].append((int(o), int(p)))
-    M_s = _next_pow2(max(max((len(so) for so in shard_obs), default=1), 1))
-    Oc_s = _next_pow2(
-        max(
-            max(
-                (
-                    int(np.bincount(
-                        [obs_cam[o] for o, _ in so], minlength=C
-                    ).max()) if so else 1
-                )
-                for so in shard_obs
-            ),
-            1,
-        )
-    )
-
     D = n_shards
+
+    # Fully vectorized repartition (the per-observation Python loop cost minutes
+    # of host time at the 100k-landmark stress config). Point at live-rank r is
+    # owned by shard r % D at local index r // D; its observations keep their
+    # slot order and are laid out point-major within the shard.
+    pids = np.nonzero(pt_mask)[0]
+    Np = len(pids)
+    ranks = np.arange(Np, dtype=np.int64)
+    s_of = ranks % D
+    lp_of = ranks // D
+    P_s = _next_pow2(max(int(np.ceil(Np / D)) if Np else 1, 1))
+
+    slots = pt_slots[pids]                                   # (Np, O)
+    valid = (slots >= 0) & obs_mask[np.maximum(slots, 0)]
+    flat_sel = valid.reshape(-1)
+    e_rank = np.broadcast_to(ranks[:, None], (Np, O)).reshape(-1)[flat_sel]
+    e_o = slots.reshape(-1)[flat_sel]                        # source obs index
+    e_s = e_rank % D
+    # stable sort by shard keeps (point-rank, slot) order within each shard
+    order = np.argsort(e_s, kind="stable")
+    e_rank, e_o, e_s = e_rank[order], e_o[order], e_s[order]
+    e_lp = e_rank // D
+    shard_counts = np.bincount(e_s, minlength=D)
+    M_s = _next_pow2(max(int(shard_counts.max()) if len(e_s) else 1, 1))
+    starts = np.concatenate([[0], np.cumsum(shard_counts)[:-1]])
+    mi = (np.arange(len(e_s), dtype=np.int64)
+          - np.repeat(starts, shard_counts))                 # local obs index
+
     s_pt_pos = np.zeros((D * P_s, 3), np.float32)
     s_pt_mask = np.zeros(D * P_s, bool)
     s_obs_cam = np.zeros(D * M_s, np.int32)
@@ -92,35 +87,47 @@ def shard_problem(prob: GlobalBAProblem, n_shards: int) -> GlobalBAProblem:
     s_obs_w = np.ones(D * M_s, np.float32)
     s_obs_mask = np.zeros(D * M_s, bool)
     s_pt_slots = np.full((D * P_s, O), -1, np.int32)
-    s_cam_slots = np.full((D, C, Oc_s), -1, np.int32)
 
     pt_pos = np.asarray(prob.pt_pos)
     obs_uv = np.asarray(prob.obs_uv)
     obs_ur = np.asarray(prob.obs_ur)
     obs_w = np.asarray(prob.obs_inv_sigma2)
 
-    for s in range(n_shards):
-        local_pid = {p: i for i, p in enumerate(shard_pts[s])}
-        base_p = s * P_s
-        for p, i in local_pid.items():
-            s_pt_pos[base_p + i] = pt_pos[p]
-            s_pt_mask[base_p + i] = True
-        base_m = s * M_s
-        fill_p = np.zeros(P_s, np.int32)
-        fill_c = np.zeros(C, np.int32)
-        for mi, (o, p) in enumerate(shard_obs[s]):
-            lp = local_pid[p]
-            s_obs_cam[base_m + mi] = obs_cam[o]
-            s_obs_pt[base_m + mi] = lp
-            s_obs_uv[base_m + mi] = obs_uv[o]
-            s_obs_ur[base_m + mi] = obs_ur[o]
-            s_obs_w[base_m + mi] = obs_w[o]
-            s_obs_mask[base_m + mi] = True
-            s_pt_slots[base_p + lp, fill_p[lp]] = mi  # LOCAL obs index
-            fill_p[lp] += 1
-            c = obs_cam[o]
-            s_cam_slots[s, c, fill_c[c]] = mi
-            fill_c[c] += 1
+    s_pt_pos[s_of * P_s + lp_of] = pt_pos[pids]
+    s_pt_mask[s_of * P_s + lp_of] = True
+
+    gm = e_s * M_s + mi
+    camv = obs_cam[e_o]
+    s_obs_cam[gm] = camv
+    s_obs_pt[gm] = e_lp
+    s_obs_uv[gm] = obs_uv[e_o]
+    s_obs_ur[gm] = obs_ur[e_o]
+    s_obs_w[gm] = obs_w[e_o]
+    s_obs_mask[gm] = True
+
+    # per-point slot lists: entries of one point are contiguous, so the slot
+    # rank is mi minus the point's first mi
+    if len(e_s):
+        idx = np.arange(len(e_s), dtype=np.int64)
+        new_pt = np.r_[True, e_rank[1:] != e_rank[:-1]]
+        start_idx = np.maximum.accumulate(np.where(new_pt, idx, 0))
+        j = mi - mi[start_idx]
+        s_pt_slots[e_s * P_s + e_lp, j] = mi
+
+        # per-(shard, cam) slot lists: cumcount within group, mi order preserved
+        gkey = e_s * C + camv
+        ord2 = np.argsort(gkey, kind="stable")
+        gk2 = gkey[ord2]
+        new2 = np.r_[True, gk2[1:] != gk2[:-1]]
+        start2 = np.maximum.accumulate(
+            np.where(new2, np.arange(len(gk2), dtype=np.int64), 0)
+        )
+        fc = np.arange(len(gk2), dtype=np.int64) - start2
+        Oc_s = _next_pow2(int(fc.max()) + 1 if len(fc) else 1)
+        s_cam_slots = np.full((D, C, Oc_s), -1, np.int32)
+        s_cam_slots[e_s[ord2], camv[ord2], fc] = mi[ord2]
+    else:
+        s_cam_slots = np.full((D, C, 1), -1, np.int32)
 
     return GlobalBAProblem(
         cam_pose=prob.cam_pose,
@@ -188,20 +195,18 @@ def run_global_ba_dist(arena, cfg, K: Intrinsics, mesh: Mesh,
     n = mesh.devices.size
     sharded = shard_problem(prob, n)
     res = optimize_global_sharded(sharded, mesh, K, iters_first=iters[0], iters_second=iters[1])
-    new_cam = np.asarray(jax.device_get(res.cam_pose))
-    new_pt = np.asarray(jax.device_get(res.pt_pos))
-    s_mask = np.asarray(jax.device_get(sharded.pt_mask))
-    fixed = np.asarray(jax.device_get(prob.cam_fixed))
-    for i, c in enumerate(cams):
-        if not fixed[i]:
-            arena.kf_pose[c] = new_cam[i]
+    new_cam, new_pt, fixed = jax.device_get(
+        [res.cam_pose, res.pt_pos, prob.cam_fixed]
+    )
+    cams_arr = np.asarray(cams, np.int64)
+    free = ~np.asarray(fixed)[: len(cams_arr)]
+    arena.kf_pose[cams_arr[free]] = np.asarray(new_cam)[: len(cams_arr)][free]
     # un-shard point positions: shard order is round-robin over `pids`
     P_s = new_pt.shape[0] // n
-    for n_, p in enumerate(pids):
-        s = n_ % n
-        i = n_ // n
-        assert s_mask[s * P_s + i]
-        arena.pt_pos[p] = new_pt[s * P_s + i]
+    r = np.arange(len(pids), dtype=np.int64)
+    arena.pt_pos[np.asarray(pids, np.int64)] = np.asarray(new_pt)[
+        (r % n) * P_s + r // n
+    ]
     return {
         "cams": len(cams),
         "points": len(pids),

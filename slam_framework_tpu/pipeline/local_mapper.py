@@ -429,24 +429,22 @@ class LocalMapper:
         """MapPointCulling (local_mapper.cpp:232-256): drop recent points with a bad
         found/visible ratio or too few observations after 2 keyframes."""
         arena = self.arena
-        keep: list[tuple[int, int]] = []
-        for pid, born_kf in self.recent_points:
-            if not arena.pt_valid[pid]:
-                continue
-            age = current_kf - born_kf
-            ratio = arena.pt_n_found[pid] / max(int(arena.pt_n_visible[pid]), 1)
-            if ratio < self.cfg.mapping.point_cull_found_ratio and age >= 1:
-                arena.erase_point(pid)
-            elif age >= 2 and arena.pt_obs_count[pid] <= 1:
-                # reference uses obs<=3 here (local_mapper.cpp:246-251) with per-frame
-                # observation accrual; our keyframes sync with a lag, so observations
-                # accrue slower — require only that SOME second view confirmed the point.
-                arena.erase_point(pid)
-            elif age >= 3:
-                pass  # survived probation (reference erases from the check list)
-            else:
-                keep.append((pid, born_kf))
-        self.recent_points = keep
+        if not self.recent_points:
+            return
+        arr = np.asarray(self.recent_points, np.int64).reshape(-1, 2)
+        pid, born = arr[:, 0], arr[:, 1]
+        alive = arena.pt_valid[pid]
+        pid, born = pid[alive], born[alive]
+        age = current_kf - born
+        ratio = arena.pt_n_found[pid] / np.maximum(arena.pt_n_visible[pid], 1)
+        kill = (ratio < self.cfg.mapping.point_cull_found_ratio) & (age >= 1)
+        # reference uses obs<=3 here (local_mapper.cpp:246-251) with per-frame
+        # observation accrual; our keyframes sync with a lag, so observations
+        # accrue slower — require only that SOME second view confirmed the point.
+        kill |= (age >= 2) & (arena.pt_obs_count[pid] <= 1)
+        arena.erase_points_batch(np.unique(pid[kill]))
+        keep = ~kill & (age < 3)  # age>=3 survivors leave probation
+        self.recent_points = list(zip(pid[keep].tolist(), born[keep].tolist()))
 
     # ------------------------------------------------------------------ local BA
 
@@ -590,21 +588,24 @@ class LocalMapper:
         alive = arena.pt_valid[pid_set]
         arena.pt_pos[pid_set[alive]] = new_pt[: len(pid_set)][alive]
 
-        # Erase outlier observations (optimizer.cpp:670-704)
+        # Erase outlier observations (optimizer.cpp:670-704), vectorized: unbind
+        # the feature rows, batch-remove the observations, then erase points
+        # starved below 2 observations.
         bad = np.nonzero(pending["obs_mask"][:m] & ~inlier[:m])[0]
         pi_flat, kf_flat, ft_flat = pending["pi_flat"], pending["kf_flat"], pending["ft_flat"]
         n_erased = 0
-        for mi in bad:
-            pid = int(pid_set[pi_flat[mi]])
-            if not arena.pt_valid[pid]:
-                continue
-            k, f = int(kf_flat[mi]), int(ft_flat[mi])
-            if arena.kf_point_idx[k, f] == pid:
-                arena.kf_point_idx[k, f] = -1
-            arena._remove_observation(pid, k)
-            n_erased += 1
-            if arena.pt_obs_count[pid] <= 1:
-                arena.erase_point(pid)
+        if len(bad):
+            pid_bad = pid_set[pi_flat[bad]].astype(np.int64)
+            kf_bad = kf_flat[bad].astype(np.int64)
+            ft_bad = ft_flat[bad].astype(np.int64)
+            live = arena.pt_valid[pid_bad]
+            pid_bad, kf_bad, ft_bad = pid_bad[live], kf_bad[live], ft_bad[live]
+            bound = arena.kf_point_idx[kf_bad, ft_bad] == pid_bad
+            arena.kf_point_idx[kf_bad[bound], ft_bad[bound]] = -1
+            arena.remove_observations_batch(pid_bad, kf_bad)
+            n_erased = len(pid_bad)
+            starved = np.unique(pid_bad[arena.pt_obs_count[pid_bad] <= 1])
+            arena.erase_points_batch(starved)
         self.last_ba_stats = {
             "cams": len(cams),
             "fixed": int(cam_fixed[: len(cams)].sum()),

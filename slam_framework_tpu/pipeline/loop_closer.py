@@ -549,18 +549,27 @@ class LoopCloser:
         # 2. points created after dispatch (or outside the problem): correct
         # through their first observing keyframe's current->post transform.
         # (Uses CURRENT poses as 'pre', so run before the pose write-back.)
-        prob_pids = set(int(p) for p in pids)
-        for pid in range(arena.num_pts):
-            if not arena.pt_valid[pid] or pid in prob_pids:
-                continue
-            k = int(arena.pt_obs_kf[pid, 0])
-            if k < 0 or k not in post:
-                continue
-            T_pre = arena.kf_pose[k].astype(np.float64)
-            X = arena.pt_pos[pid].astype(np.float64)
-            Xc = T_pre[:3, :3] @ X + T_pre[:3, 3]
-            Tp = post[k]
-            arena.pt_pos[pid] = (Tp[:3, :3].T @ (Xc - Tp[:3, 3])).astype(np.float32)
+        # Vectorized — the scalar loop cost 262k Python iterations per merge at
+        # arena capacity.
+        post_has = np.zeros(n_now, bool)
+        post_pose = np.zeros((n_now, 4, 4), np.float64)
+        for c, T in post.items():
+            if c < n_now:
+                post_has[c] = True
+                post_pose[c] = T
+        in_prob_pid = np.zeros(arena.num_pts, bool)
+        in_prob_pid[pids[pids < arena.num_pts]] = True
+        sel = np.nonzero(arena.pt_valid[: arena.num_pts] & ~in_prob_pid)[0]
+        k_first = arena.pt_obs_kf[sel, 0]
+        ok = (k_first >= 0) & (k_first < n_now) & post_has[np.maximum(k_first, 0)]
+        sel, k_first = sel[ok], k_first[ok]
+        if len(sel):
+            T_pre = arena.kf_pose[k_first].astype(np.float64)   # (n,4,4)
+            X = arena.pt_pos[sel].astype(np.float64)
+            Xc = np.einsum("nij,nj->ni", T_pre[:, :3, :3], X) + T_pre[:, :3, 3]
+            Tp = post_pose[k_first]
+            Xw = np.einsum("nji,nj->ni", Tp[:, :3, :3], Xc - Tp[:, :3, 3])
+            arena.pt_pos[sel] = Xw.astype(np.float32)
 
         # 3. problem points adopt GBA positions
         alive = arena.pt_valid[pids]
