@@ -102,7 +102,18 @@ class KeyframeDatabase:
                     scored.append((kf, s))
         if not scored:
             return []
-        # accumulate over covisibility groups
+        return self._group_accumulate(scored, covisibility_groups)
+
+    @staticmethod
+    def _group_accumulate(
+        scored: List[Tuple[int, float]],
+        covisibility_groups: Optional[Dict[int, List[int]]],
+    ) -> List[int]:
+        """Covisibility-group score accumulation shared by loop and reloc
+        candidate detection (keyframe_database.cpp:121-167 / :243-291): each
+        scoring keyframe's group accumulates the scores of its covisible
+        members that also scored; groups with acc > 0.75 * best contribute
+        their best-scoring member."""
         best_acc = 0.0
         group_best: List[Tuple[float, int]] = []
         scored_map = dict(scored)
@@ -126,9 +137,14 @@ class KeyframeDatabase:
                 out.append(kf)
         return out
 
-    def detect_relocalization_candidates(self, bow: BowFrame) -> List[int]:
+    def detect_relocalization_candidates(
+        self,
+        bow: BowFrame,
+        covisibility_groups: Optional[Dict[int, List[int]]] = None,
+    ) -> List[int]:
         """DetectRelocalizationCandidates (keyframe_database.cpp:179-299): same
-        pipeline without the min_score gate or connected-set exclusion."""
+        pipeline without the min_score gate or connected-set exclusion, with the
+        same covisibility-group score accumulation (:243-291)."""
         counts = self._shared_word_counts(bow, set())
         if not counts:
             return []
@@ -141,5 +157,4 @@ class KeyframeDatabase:
         ]
         if not scored:
             return []
-        best = max(s for _, s in scored)
-        return [kf for kf, s in scored if s >= 0.75 * best]
+        return self._group_accumulate(scored, covisibility_groups)

@@ -59,6 +59,15 @@ class MapArena:
     pt_obs_feat: np.ndarray      # (P, O) int32 feature index in that KF
     pt_obs_count: np.ndarray     # (P,) int32
 
+    # --- spanning-tree surgery on deletion (keyframe.cpp:546-607) ---
+    # At cull time a keyframe is assigned its best covisible live keyframe as
+    # parent and the RELATIVE transform to it is frozen (Tcp_ = Tcw * parent.Twc,
+    # keyframe.cpp:602-607). Trajectory export composes through parent chains so
+    # frames whose reference keyframe was culled still follow BA / loop-closure
+    # refinements of the surviving ancestors (slam_system.cpp:264-314).
+    kf_parent: Optional[np.ndarray] = None        # (K,) int32, -1 = none/live root
+    kf_rel_to_parent: Optional[np.ndarray] = None  # (K, 4, 4) f32 Tcp at cull time
+
     num_kfs: int = 0             # high-water marks (ids are never reused)
     num_pts: int = 0
     next_point_id: int = 0
@@ -92,6 +101,8 @@ class MapArena:
             pt_obs_kf=np.full((P, O), -1, np.int32),
             pt_obs_feat=np.full((P, O), -1, np.int32),
             pt_obs_count=np.zeros(P, np.int32),
+            kf_parent=np.full(K, -1, np.int32),
+            kf_rel_to_parent=np.tile(np.eye(4, dtype=np.float32), (K, 1, 1)),
         )
 
     # ------------------------------------------------------------------ keyframes
@@ -144,8 +155,26 @@ class MapArena:
         return k
 
     def erase_keyframe(self, kf: int) -> None:
-        """SetBadFlag equivalent (keyframe.cpp:515-614) minus spanning-tree surgery:
-        remove all its observations and mark invalid."""
+        """SetBadFlag equivalent (keyframe.cpp:515-614): assign a spanning-tree
+        parent (best covisible live keyframe) with a frozen relative transform
+        (keyframe.cpp:546-607), then remove all observations and mark invalid."""
+        # Spanning-tree surgery BEFORE dropping observations: the parent is the
+        # most-covisible live keyframe; fall back to the nearest older live one.
+        counts = self.covisibility_counts(kf)
+        parent = int(np.argmax(counts)) if counts.size and counts.max() > 0 else -1
+        if parent < 0:
+            older = np.nonzero(self.kf_valid[:kf])[0]
+            parent = int(older[-1]) if len(older) else -1
+        if parent >= 0 and self.kf_parent is not None:
+            self.kf_parent[kf] = parent
+            Tpw = self.kf_pose[parent].astype(np.float64)
+            Rp, tp = Tpw[:3, :3], Tpw[:3, 3]
+            Twp = np.eye(4)
+            Twp[:3, :3] = Rp.T
+            Twp[:3, 3] = -Rp.T @ tp
+            self.kf_rel_to_parent[kf] = (
+                self.kf_pose[kf].astype(np.float64) @ Twp
+            ).astype(np.float32)
         lib = native.load_arena_ops()
         if lib is not None:
             row = self.kf_point_idx[kf]
@@ -387,6 +416,25 @@ class MapArena:
         if max_n:
             ids = ids[:max_n]
         return ids
+
+    def effective_kf_pose(self, kf: int) -> np.ndarray:
+        """(4,4) float64 Tcw of `kf`, composing through the spanning-tree parent
+        chain when the keyframe was culled: Tcw_eff = Tcp_chain @ Tcw_live_ancestor
+        (SaveTrajectoryKITTI semantics, slam_system.cpp:283-296). Falls back to the
+        frozen pose when no live ancestor exists."""
+        if self.kf_valid[kf] or self.kf_parent is None:
+            return self.kf_pose[kf].astype(np.float64)
+        rel = np.eye(4)
+        k = kf
+        for _ in range(self.num_kfs):  # chain is acyclic; bound for safety
+            if self.kf_valid[k]:
+                return rel @ self.kf_pose[k].astype(np.float64)
+            p = int(self.kf_parent[k])
+            if p < 0:
+                break
+            rel = rel @ self.kf_rel_to_parent[k].astype(np.float64)
+            k = p
+        return self.kf_pose[kf].astype(np.float64)
 
     def point_found_ratio(self, pid) -> np.ndarray:
         return self.pt_n_found[pid] / np.maximum(self.pt_n_visible[pid], 1)

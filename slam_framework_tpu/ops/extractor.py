@@ -73,11 +73,15 @@ class OrbExtractor:
         cfg = self.cfg
         img = img.astype(jnp.float32)
         levels = pyramid.build_pyramid(img, cfg.num_levels, cfg.scale_factor)
-        return self._extract_from_pyramid(levels)
+        blurred = pyramid.build_blurred_pyramid(img, cfg.num_levels, cfg.scale_factor)
+        return self._extract_from_pyramid(levels, blurred)
 
-    def _extract_from_pyramid(self, levels) -> Features:
+    def _extract_from_pyramid(self, levels, blurred=None) -> Features:
         """Extract from a prebuilt fp32 pyramid (lets the caller share the pyramid
-        with stereo matching instead of building it twice)."""
+        with stereo matching instead of building it twice). `blurred` optionally
+        supplies the pre-BRIEF Gaussian-blurred levels (the fused resize+blur
+        operators in ops/pyramid.py make them nearly free); falls back to
+        per-level gaussian_blur when absent."""
         cfg = self.cfg
 
         per_level_feats = []
@@ -103,8 +107,8 @@ class OrbExtractor:
             sel = select.select_uniform(score_hi, score_lo, n_lvl, cell=cfg.fast_cell_size)
 
             angles = orient.ic_angles(lvl_img, sel.xy)
-            blurred = pyramid.gaussian_blur(lvl_img)
-            desc = brief.brief_descriptors(blurred, sel.xy, angles)
+            blur_lvl = blurred[lvl] if blurred is not None else pyramid.gaussian_blur(lvl_img)
+            desc = brief.brief_descriptors(blur_lvl, sel.xy, angles)
 
             scale = float(self.scales[lvl])
             xy0 = sel.xy.astype(jnp.float32) * scale

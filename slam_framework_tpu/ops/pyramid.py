@@ -60,18 +60,91 @@ def resize_bilinear(img: jnp.ndarray, out_hw) -> jnp.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _composed_level_matrices(height: int, width: int, num_levels: int, scale_factor: float):
+    """Per-level (M_l, N_l) fp32 matrices with level_l = M_l @ img @ N_l.T.
+
+    The cascade level_l = resize(level_{l-1}) is a chain of linear maps, so the
+    per-level operator is the PRECOMPOSED product of the cascade's interpolation
+    matrices — numerically the same low-pass behavior as resizing level-by-level
+    (the reference's ComputePyramid, orb_extractor.cpp:1051-1076), but every
+    level becomes one independent pair of matmuls straight from the level-0
+    image: no serial dependence between levels, and XLA schedules all levels
+    concurrently on the MXU. Composed in float64 on host, cast to fp32 once.
+    """
+    shapes = level_shapes(height, width, num_levels, scale_factor)
+    mats = [(None, None)]  # level 0 is the identity
+    Mr = np.eye(height, dtype=np.float64)
+    Nc = np.eye(width, dtype=np.float64)
+    for lvl in range(1, num_levels):
+        ph, pw = shapes[lvl - 1]
+        h, w = shapes[lvl]
+        Mr = _interp_matrix(ph, h).astype(np.float64) @ Mr
+        Nc = _interp_matrix(pw, w).astype(np.float64) @ Nc
+        mats.append((Mr.astype(np.float32), Nc.astype(np.float32)))
+    return mats
+
+
 def build_pyramid(img: jnp.ndarray, num_levels: int, scale_factor: float) -> List[jnp.ndarray]:
     """img (H, W) fp32 -> list of per-level fp32 arrays, level 0 == img.
 
-    Each level is resized from the previous one (cascaded, like the reference) which
-    acts as mild low-pass filtering versus resizing from level 0 directly.
+    Cascade semantics (each level low-passed through every intermediate level,
+    like the reference) with precomposed per-level operators — all levels are
+    computed directly from level 0 in parallel.
     """
-    shapes = level_shapes(img.shape[0], img.shape[1], num_levels, scale_factor)
+    mats = _composed_level_matrices(img.shape[0], img.shape[1], num_levels, scale_factor)
     levels = [img]
     for lvl in range(1, num_levels):
-        prev = levels[-1]
-        levels.append(resize_bilinear(prev, shapes[lvl]))
+        M, N = mats[lvl]
+        levels.append(_apply_sep(img, jnp.asarray(M), jnp.asarray(N)))
     return levels
+
+
+def _apply_sep(img: jnp.ndarray, M: jnp.ndarray, N: jnp.ndarray) -> jnp.ndarray:
+    """(M @ img) @ N.T as two MXU matmuls."""
+    return jax.lax.dot_general(
+        jax.lax.dot_general(M, img, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST),
+        N.T, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _composed_blur_matrices(
+    height: int, width: int, num_levels: int, scale_factor: float,
+    ksize: int = 7, sigma: float = 2.0,
+):
+    """Per-level (B_r @ M_l, B_c @ N_l): resize-then-blur fused into one pair of
+    matrices per level, so the pre-BRIEF Gaussian (orb_extractor.cpp:1030) costs
+    no separate pass over the pyramid."""
+    shapes = level_shapes(height, width, num_levels, scale_factor)
+    resize = _composed_level_matrices(height, width, num_levels, scale_factor)
+    mats = []
+    for lvl in range(num_levels):
+        h, w = shapes[lvl]
+        Br = _blur_matrix(h, ksize, sigma).astype(np.float64)
+        Bc = _blur_matrix(w, ksize, sigma).astype(np.float64)
+        if lvl == 0:
+            mats.append((Br.astype(np.float32), Bc.astype(np.float32)))
+        else:
+            M, N = resize[lvl]
+            mats.append(
+                (
+                    (Br @ M.astype(np.float64)).astype(np.float32),
+                    (Bc @ N.astype(np.float64)).astype(np.float32),
+                )
+            )
+    return mats
+
+
+def build_blurred_pyramid(
+    img: jnp.ndarray, num_levels: int, scale_factor: float,
+    ksize: int = 7, sigma: float = 2.0,
+) -> List[jnp.ndarray]:
+    """Gaussian-blurred levels computed straight from the level-0 image with the
+    fused resize+blur operators (bit-comparable to gaussian_blur(level))."""
+    mats = _composed_blur_matrices(img.shape[0], img.shape[1], num_levels, scale_factor, ksize, sigma)
+    return [_apply_sep(img, jnp.asarray(M), jnp.asarray(N)) for (M, N) in mats]
 
 
 @functools.lru_cache(maxsize=8)

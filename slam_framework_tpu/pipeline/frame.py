@@ -68,14 +68,14 @@ class StereoFrontend:
         # ONE pyramid per image, shared between extraction and stereo matching
         # (the reference's parallel L/R extraction, frame.cpp:86-89, rebuilds
         # nothing either — each thread owns its pyramid).
-        lp = pyramid.build_pyramid(
-            left.astype(jnp.float32), cfg.orb.num_levels, cfg.orb.scale_factor
-        )
-        rp = pyramid.build_pyramid(
-            right.astype(jnp.float32), cfg.orb.num_levels, cfg.orb.scale_factor
-        )
-        fl: Features = self.extractor._extract_from_pyramid(lp)
-        fr: Features = self.extractor._extract_from_pyramid(rp)
+        lf32 = left.astype(jnp.float32)
+        rf32 = right.astype(jnp.float32)
+        lp = pyramid.build_pyramid(lf32, cfg.orb.num_levels, cfg.orb.scale_factor)
+        rp = pyramid.build_pyramid(rf32, cfg.orb.num_levels, cfg.orb.scale_factor)
+        lb = pyramid.build_blurred_pyramid(lf32, cfg.orb.num_levels, cfg.orb.scale_factor)
+        rb = pyramid.build_blurred_pyramid(rf32, cfg.orb.num_levels, cfg.orb.scale_factor)
+        fl: Features = self.extractor._extract_from_pyramid(lp, lb)
+        fr: Features = self.extractor._extract_from_pyramid(rp, rb)
         # stereo matching searches RAW rectified rows (frame.cpp:406-577);
         # undistortion applies to the geometry coordinates only
         sm = stereo_match.match_stereo(fl, fr, lp, rp, self.K, self.extractor.scales)

@@ -63,6 +63,11 @@ class MonoTracker(StereoTracker):
         super().__init__(cfg, arena, sync_every=sync_every)
         self._init_ref: Optional[dict] = None
         self._key = jax.random.PRNGKey(3)
+        # The reference extracts 2x features while monocular-uninitialized
+        # (tracker.cpp:84-90) — bootstrap needs match density the steady-state
+        # budget can't provide on sparse scenes. Only this separate init-path
+        # extractor is doubled; the chunk program keeps its fixed 1x shapes.
+        self._init_frontend = MonoFrontend(cfg, feature_multiplier=2)
         self._jit_init_match = jax.jit(self._init_match)
         self._jit_two_view = jax.jit(
             functools.partial(initializer.initialize_two_view, K=self.K)
@@ -102,7 +107,7 @@ class MonoTracker(StereoTracker):
         return res.idx, res.valid
 
     def _initialize(self, left, right, timestamp) -> bool:
-        fd = self.frontend(jnp.asarray(left))
+        fd = self._init_frontend(jnp.asarray(left))  # 2x features (tracker.cpp:84-90)
         host = jax.device_get(
             {
                 "xy": fd.xy, "desc": fd.desc, "valid": fd.valid,
@@ -138,13 +143,51 @@ class MonoTracker(StereoTracker):
         )
         ok = bool(jax.device_get(res.ok))
         if not ok:
-            # planar scene or ambiguous motion — reference keeps trying with the
-            # same reference frame (H-reconstruction path lands later)
+            # ambiguous motion / too little parallax — both the E path and the
+            # planar Faugeras H path (initializer._decompose_H) rejected the pair;
+            # keep trying with a fresh reference frame like the reference
             return False
         R, t, pts, good = jax.device_get([res.R, res.t, res.points, res.good])
         return self._create_initial_map(
             ref, host, rows, idx, R, t, pts, good, timestamp
         )
+
+    @staticmethod
+    def _compact_init_features(ref, cur, rows, idx, n_cap):
+        """Compact 2x-budget init feature sets to the arena's per-KF row capacity:
+        matched pairs first (preserved 1:1), then the strongest remaining valid
+        features. Returns remapped (ref, cur, rows, idx) with rows = arange(n_m)
+        and idx[rows] = arange(n_m)."""
+        n_m = len(rows)
+        ref_rest = np.setdiff1d(np.nonzero(ref["valid"])[0], rows)[: n_cap - n_m]
+        ref_keep = np.concatenate([rows, ref_rest])
+        cur_matched = idx[rows]
+        cur_rest = np.setdiff1d(np.nonzero(cur["valid"])[0], cur_matched)[: n_cap - n_m]
+        cur_keep = np.concatenate([cur_matched, cur_rest])
+
+        def pad_to(d, keep):
+            out = {}
+            for k, v in d.items():
+                if isinstance(v, np.ndarray) and v.shape[:1] == d["valid"].shape:
+                    row = v[keep]
+                    if len(row) < n_cap:
+                        pad = np.zeros((n_cap - len(row),) + row.shape[1:], row.dtype)
+                        row = np.concatenate([row, pad])
+                    out[k] = row
+                else:
+                    out[k] = v
+            return out
+
+        ref2 = pad_to(ref, ref_keep)
+        cur2 = pad_to(cur, cur_keep)
+        if len(ref_keep) < n_cap:
+            ref2["valid"][len(ref_keep):] = False
+        if len(cur_keep) < n_cap:
+            cur2["valid"][len(cur_keep):] = False
+        new_rows = np.arange(n_m)
+        new_idx = np.full(n_cap, -1, np.int64)
+        new_idx[:n_m] = np.arange(n_m)
+        return ref2, cur2, new_rows, new_idx
 
     def _create_initial_map(self, ref, cur, rows, idx, R, t, pts, good, timestamp) -> bool:
         """CreateInitialMapMonocular (tracker.cpp:366-460): two keyframes, the
@@ -153,6 +196,12 @@ class MonoTracker(StereoTracker):
 
         arena = self.arena
         cfg = self.cfg
+        n_cap = arena.kf_xy.shape[1]
+        if ref["xy"].shape[0] > n_cap:
+            # 2x init extraction (tracker.cpp:84-90) -> compact to arena capacity;
+            # pts/good stay aligned (they are indexed by match slot, and matched
+            # pairs keep their order at the front)
+            ref, cur, rows, idx = self._compact_init_features(ref, cur, rows, idx, n_cap)
         N = ref["xy"].shape[0]
         pose1 = np.eye(4, dtype=np.float32)
         pose2 = np.eye(4, dtype=np.float32)
@@ -236,8 +285,6 @@ class MonoTracker(StereoTracker):
             pt_mask=jnp.asarray(slot >= 0),
             assoc_slot=jnp.asarray(slot),
         )
-        self._dstate_slot_host = slot.astype(np.int32)
-        self._dstate_slot_ids = self._block_ids
         eye = np.eye(4, dtype=np.float64)
         self.records.append(
             FrameRecord(ref["frame_id"], ref["ts"], np.eye(4, dtype=np.float32), False,

@@ -114,7 +114,14 @@ class Relocalizer:
         from slam_framework_tpu.bow.database import BowFrame
 
         bow = BowFrame(word, weight)
-        candidates = pr.db.detect_relocalization_candidates(bow)
+        from slam_framework_tpu.pipeline.loop_closer import _CovisMap
+
+        candidates = pr.db.detect_relocalization_candidates(
+            bow,
+            covisibility_groups=_CovisMap(
+                arena, self.cfg.mapping.covisibility_edge_min
+            ),
+        )
         if not candidates:
             return None
         # best BoW score first (the reference round-robins; scores order the tries)

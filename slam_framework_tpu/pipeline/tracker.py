@@ -84,13 +84,21 @@ class StereoTracker:
     MIN_INIT_STEREO = 250    # and a healthy number of actual stereo depths
     MAX_KFS_PER_CHUNK = 1    # keyframe budget per drained chunk
 
-    def __init__(self, cfg: SlamConfig, arena: Optional[MapArena] = None, sync_every: int = 4):
+    def __init__(self, cfg: SlamConfig, arena: Optional[MapArena] = None, sync_every: int = 4,
+                 pipeline_depth: int = 2):
         self.cfg = cfg
         self.frontend = self._make_frontend()
         self.K = self.frontend.K
         self.arena = arena or MapArena.create(cfg.capacity, cfg.capacity.max_features)
         self.state = TrackingState.NO_IMAGES_YET
         self.sync_every = max(1, sync_every)
+        # Chunks allowed in flight before draining. Depth 2 = classic double
+        # buffering: while the host fetches + processes chunk i's results
+        # (keyframe creation, mapper bookkeeping), the device computes chunk
+        # i+1 — neither side idles. Costs one extra chunk of staleness in the
+        # keyframe decision / local-block refresh (bounded-staleness design,
+        # module docstring). Depth 1 = the round-1 fully-serial behavior.
+        self.pipeline_depth = max(1, pipeline_depth)
         self.ref_kf = -1
         self.ref_kf_tracked = 0
         self.last_kf_frame_id = -1
@@ -103,20 +111,37 @@ class StereoTracker:
         self.local_mapper = LocalMapper(cfg, self.arena, self.K, timers=self.timers)
         self.relocalizer = None       # set by SlamSystem once place recognition exists
         self.localization_only = False  # ActivateLocalizationMode (slam_system.h:38)
+        self._last_reloc_fid = -(10**9)  # strict-gate window anchor (tracker.cpp:1166)
         self._dstate: Optional[DeviceTrackState] = None
         self._block = None            # device PointBlock for local-map association
         self._block_ids = None        # (P,) np int32 — global point id per block slot
         self._buf = []                # buffered (left, right, frame_id, ts) awaiting dispatch
         self._pending = []            # [(ids, tss, summaries, packs, descs, vis, found, block_ids)]
         self._pending_remap = None    # block ids awaiting device-state remap
-        self._dstate_slot_host = None  # host mirror of _dstate.assoc_slot
-        self._dstate_slot_ids = None   # block layout the mirror refers to
         self._jit_chunk = jax.jit(self._chunk)
+        self._jit_remap = jax.jit(self._remap_program)
 
     def _current_sync(self) -> int:
         """Frames per device dispatch; subclasses shorten it while the map is
         young (mono bootstrap cannot survive a long refresh interval)."""
         return self.sync_every
+
+    MATURE_MAP_KFS = 12  # depth-2 pipelining waits for this many keyframes
+
+    def _current_depth(self) -> int:
+        """Pipeline depth: serial (1) while the map is young — a bootstrap-age
+        map starves under the extra chunk of local-block staleness (measured:
+        LOST within 30 frames at depth 2 from cold start) — and serial right
+        after a keyframe, so the rebuilt local block enters tracking with the
+        serial path's latency (measured: pipelining across keyframe chunks
+        starves the block on fast-optic-flow scenes). Chunks that created no
+        keyframe changed nothing the in-flight chunk depends on, so they
+        pipeline freely."""
+        if self.arena.n_valid_kfs < self.MATURE_MAP_KFS:
+            return 1
+        if self._pending_remap is not None:
+            return 1
+        return self.pipeline_depth
 
     def _make_frontend(self):
         if self.cfg.sensor == "rgbd":
@@ -266,9 +291,9 @@ class StereoTracker:
     # ------------------------------------------------------------------ main entry
 
     def track(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
-        """Feed one stereo pair (or gray+depth in RGB-D mode). Returns the latest
-        SYNCED pose (lags sync_every frames) or None before initialization. Call
-        flush() to drain at end."""
+        """Feed one stereo pair (or gray+depth in RGB-D mode) from HOST arrays.
+        Returns the latest SYNCED pose (lags sync_every frames) or None before
+        initialization. Call flush() to drain at end."""
         if self.cfg.sensor == "rgbd":
             # gray (uint8) and depth (float) must share a dtype to stack per chunk
             left = np.asarray(left, np.float32)
@@ -284,23 +309,59 @@ class StereoTracker:
             self.frame_id += 1
             return self.records[-1].pose if self.records else None
 
-        # Upload NOW (async device_put): spreading the 4 per-frame transfers
-        # across the inter-frame gaps overlaps them with the in-flight chunk's
-        # compute instead of serializing ~100 ms of upload inside _dispatch.
+        # Upload NOW (async device_put): spreading the per-frame transfers across
+        # the inter-frame gaps overlaps them with the in-flight chunk's compute
+        # instead of serializing them inside _dispatch.
         pair = jax.device_put(
             jnp.stack([jnp.asarray(left), jnp.asarray(right)])
         )
+        return self.track_device(pair, timestamp)
+
+    def track_device(self, pair: jnp.ndarray, timestamp: float) -> Optional[np.ndarray]:
+        """Feed one stereo pair already resident on device: (2, H, W) array.
+
+        This is the production ingestion path — a deployment streams sensor
+        frames into device HBM ahead of compute (prefetch ring), the same way
+        the reference's frames sit in host RAM before TrackStereo (the reference
+        times tracking with imread outside the clock, main_stereo.cpp:102-130).
+        """
+        if self.state in (
+            TrackingState.NO_IMAGES_YET,
+            TrackingState.NOT_INITIALIZED,
+            TrackingState.LOST,
+        ):
+            # init / relocalization paths need host pixels rarely; fetch once
+            l, r = np.asarray(pair[0]), np.asarray(pair[1])
+            return self.track(l, r, timestamp)
+
         self._buf.append((pair, None, self.frame_id, timestamp))
         self.frame_id += 1
         if len(self._buf) >= self._current_sync():
-            with self.timers.time("dispatch"), trace_span("tracker/dispatch"):
-                self._dispatch()
-            # drain immediately: letting a chunk ride in flight doubles the
-            # keyframe-decision lag (8+ frames at KITTI speed) and starves the
-            # local map ahead of the camera (measured: ATE 0.05 -> 4.5, LOST).
-            # Overlap comes from the ASYNC local BA instead (local_mapper.py).
-            with self.timers.time("drain"), trace_span("tracker/drain"):
-                self._drain()
+            if self._current_depth() > 1 and not self._pending:
+                # prime the pipeline: first chunk rides while the next buffers
+                with self.timers.time("dispatch"), trace_span("tracker/dispatch"):
+                    self._dispatch()
+            elif self._current_depth() > 1:
+                # Fetch-then-dispatch-then-process: block on chunk i's results,
+                # IMMEDIATELY enqueue chunk i+1 (device goes back to work), then
+                # do the host-side bookkeeping (records, keyframe creation,
+                # mapper dispatches) while chunk i+1 computes. Keyframe DECISIONS
+                # keep the serial path's lag; only the rebuilt block's entry into
+                # tracking lags one extra chunk (it dispatches with chunk i+2) —
+                # measured to preserve ATE where a full dispatch-before-fetch
+                # depth-2 pipeline loses tracking (block starvation).
+                with self.timers.time("drain"), trace_span("tracker/fetch"):
+                    raw = self._fetch()
+                with self.timers.time("dispatch"), trace_span("tracker/dispatch"):
+                    self._dispatch()
+                with self.timers.time("process"), trace_span("tracker/process"):
+                    self._process(raw)
+            else:
+                with self.timers.time("dispatch"), trace_span("tracker/dispatch"):
+                    self._dispatch()
+                while self._pending:
+                    with self.timers.time("drain"), trace_span("tracker/drain"):
+                        self._drain()
         return self.records[-1].pose if self.records else None
 
     def flush(self) -> None:
@@ -336,13 +397,17 @@ class StereoTracker:
     # ------------------------------------------------------------------ host sync
 
     def _drain(self) -> None:
+        self._process(self._fetch())
+
+    def _fetch(self):
+        """Blocking fetch of the OLDEST in-flight chunk's results — ONE RPC:
+        summaries + per-frame packs/descs (so keyframe creation never fetches)
+        + the in-flight local-BA / triangulation / fusion results dispatched at
+        the previous keyframe. The tunnel costs ~27 ms latency per RPC
+        regardless of size; the whole payload is < 1 MB."""
         fids, tss, summaries_dev, packs_dev, descs_dev, vis_dev, found_dev, block_ids = (
             self._pending.pop(0)
         )
-        # ONE RPC for the chunk: summaries + per-frame packs/descs (so keyframe
-        # creation never fetches) + the in-flight local-BA and triangulation
-        # results dispatched at the previous keyframe. The tunnel costs ~27 ms
-        # latency per RPC regardless of size; the whole payload is < 1 MB.
         fetch = [summaries_dev, vis_dev, found_dev, packs_dev, descs_dev]
         ba_handles = self.local_mapper.ba_handles()
         if ba_handles is not None:
@@ -363,10 +428,14 @@ class StereoTracker:
         if tri_handles is not None:
             tri_data, rest = rest[: len(tri_handles)], rest[len(tri_handles):]
         fuse_data = rest if fuse_handles is not None else None
-        # host mirror of the device state's assoc_slot (the last frame's slots) —
-        # lets _remap_device_state run without a blocking device fetch
-        self._dstate_slot_host = packs[-1][:, 7].astype(np.int32)
-        self._dstate_slot_ids = block_ids
+        return (fids, tss, summaries, vis, found, packs, descs, block_ids,
+                ba_data, tri_data, fuse_data)
+
+    def _process(self, raw) -> None:
+        """Host-side bookkeeping for one fetched chunk: records, lost detection,
+        keyframe decision/creation, visible/found accrual, mapper result landing."""
+        (fids, tss, summaries, vis, found, packs, descs, block_ids,
+         ba_data, tri_data, fuse_data) = raw
         made_kf = 0
         # per-frame visible/found accrual (map_point.cpp:234-247) against the
         # block layout the chunk was DISPATCHED with
@@ -386,7 +455,12 @@ class StereoTracker:
             s = summaries[j]
             pose = s[0:16].reshape(4, 4).astype(np.float32)
             n_inliers = int(s[17])
-            lost = n_inliers < self.cfg.tracker.track_local_map_min_inliers
+            # strict acceptance window after a relocalization: the reference
+            # demands >= 50 inliers for max_frames_ frames (tracker.cpp:1166-1169)
+            min_inl = self.cfg.tracker.track_local_map_min_inliers
+            if fid - self._last_reloc_fid < self.cfg.max_frames_between_kfs:
+                min_inl = self.cfg.tracker.track_local_map_min_inliers_reloc
+            lost = n_inliers < min_inl
             if lost:
                 self.state = TrackingState.LOST
                 rec = FrameRecord(fid, ts, None, True, self.ref_kf)
@@ -450,6 +524,7 @@ class StereoTracker:
             return
         self.state = TrackingState.OK
         self.ref_kf = res.kf
+        self._last_reloc_fid = self.frame_id
         self._pending_remap = None  # state is re-seeded below against the new block
         self._rebuild_block()
         N = host["desc"].shape[0]
@@ -466,8 +541,6 @@ class StereoTracker:
             pt_mask=jnp.asarray(slot >= 0),
             assoc_slot=jnp.asarray(slot),
         )
-        self._dstate_slot_host = slot.astype(np.int32)
-        self._dstate_slot_ids = self._block_ids
         self.records.append(
             FrameRecord(self.frame_id, timestamp, res.pose, False, res.kf,
                         self._rel_to_ref(res.pose, res.kf))
@@ -539,8 +612,6 @@ class StereoTracker:
             pt_mask=jnp.asarray(slot >= 0),
             assoc_slot=jnp.asarray(slot),
         )
-        self._dstate_slot_host = slot.astype(np.int32)
-        self._dstate_slot_ids = self._block_ids
         rec = FrameRecord(self.frame_id, timestamp, pose, False, kf,
                           np.eye(4, dtype=np.float64))
         self.records.append(rec)
@@ -664,29 +735,35 @@ class StereoTracker:
             self._pending_remap = old_ids
         return kf
 
+    @staticmethod
+    def _remap_program(state: DeviceTrackState, perm: jnp.ndarray, new_pos: jnp.ndarray):
+        """On-device slot translation after a block rebuild: slot' = perm[slot]
+        (-1 when the point left the block), tracked positions refreshed from the
+        new block (BA / loop correction may have moved them). Enqueued on the
+        device stream between chunks, so it composes with ANY pipeline depth —
+        no host fetch of the in-flight state is ever needed."""
+        slot_old = state.assoc_slot
+        slot = jnp.where(slot_old >= 0, perm[jnp.maximum(slot_old, 0)], -1)
+        has = slot >= 0
+        return state._replace(
+            assoc_slot=slot,
+            pt_mask=has,
+            pt_pos=jnp.where(has[:, None], new_pos[jnp.maximum(slot, 0)], 0.0),
+        )
+
     def _remap_device_state(self, old_ids: np.ndarray) -> None:
-        """After a block rebuild, the device state's assoc_slot indices refer to the
-        OLD block layout; remap them to the new one. The slots are read from the
-        host mirror kept by _drain (the device state's assoc_slot IS the last
-        drained frame's slot column), so no blocking device fetch is needed."""
+        """After a block rebuild, the device state's assoc_slot indices refer to
+        the OLD block layout; translate them to the new one on device."""
         st = self._dstate
         if st is None:
             return
-        if self._dstate_slot_host is not None:
-            slots_old = self._dstate_slot_host
-            old_ids = self._dstate_slot_ids
-        else:
-            slots_old = jax.device_get(st.assoc_slot)
-        pids = np.where(slots_old >= 0, old_ids[np.maximum(slots_old, 0)], -1)
-        new_slots = self._ids_to_slots(pids)
-        self._dstate = st._replace(
-            assoc_slot=jnp.asarray(new_slots),
-            pt_mask=jnp.asarray(new_slots >= 0),
-            # refresh tracked positions: BA / loop correction may have moved them
-            pt_pos=jnp.asarray(self._block_pos_for_slots(new_slots)),
+        # old slot -> new slot permutation (host numpy over the id arrays only)
+        new_slots_of_old = self._ids_to_slots(
+            np.where(old_ids >= 0, old_ids, -1)
+        ).astype(np.int32)
+        self._dstate = self._jit_remap(
+            st, jnp.asarray(new_slots_of_old), self._block.pos
         )
-        self._dstate_slot_host = new_slots.astype(np.int32)
-        self._dstate_slot_ids = self._block_ids
 
     # ------------------------------------------------------------------ local map block
 
@@ -813,14 +890,16 @@ class StereoTracker:
         """Per-frame Tcw reconstructed as Tcr @ Trw from the FINAL keyframe poses,
         so BA / loop-closure refinements propagate into the whole trajectory
         (SaveTrajectoryKITTI semantics, slam_system.cpp:264-314). Lost frames
-        repeat the previous pose. Erased keyframes keep their last settled pose
-        in the arena (rows survive erase_keyframe), so composition stays valid."""
+        repeat the previous pose. Culled reference keyframes compose through
+        their spanning-tree parent chain (slam_system.cpp:283-296), so their
+        effective pose keeps following BA / loop-closure refinements of the
+        surviving ancestors."""
         out = []
         prev = np.eye(4, dtype=np.float32)
         for r in self.records:
             if r.pose is not None:
                 if r.rel_pose is not None:
-                    Trw = self.arena.kf_pose[r.ref_kf].astype(np.float64)
+                    Trw = self.arena.effective_kf_pose(r.ref_kf)
                     prev = (r.rel_pose @ Trw).astype(np.float32)
                 else:
                     prev = r.pose

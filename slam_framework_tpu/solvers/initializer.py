@@ -42,7 +42,7 @@ class InitResult(NamedTuple):
     points: jnp.ndarray    # (N, 3) triangulated points in frame-1 camera coords
     good: jnp.ndarray      # (N,) bool — triangulated + validated matches
     n_good: jnp.ndarray    # () int32
-    is_planar: jnp.ndarray  # () bool — H model won (caller should retry)
+    is_planar: jnp.ndarray  # () bool — H model won (reconstructed via Faugeras)
     ok: jnp.ndarray        # () bool
 
 
@@ -102,6 +102,23 @@ def _dlt_H(x1, x2):
     return vecs[..., :, 0].reshape(x1.shape[:-2] + (3, 3))
 
 
+def _dlt_H_weighted(x1, x2, w):
+    """Homography from ALL correspondences with per-row weights (N,) — the
+    inlier-weighted refit mirroring the E path's, so the planar reconstruction
+    is not limited to minimal-set noise."""
+    ones = jnp.ones(x1.shape[:-1] + (1,), x1.dtype)
+    xh = jnp.concatenate([x1, ones], axis=-1)
+    zeros = jnp.zeros_like(xh)
+    u2 = x2[:, 0:1]
+    v2 = x2[:, 1:2]
+    rows_u = jnp.concatenate([xh, zeros, -u2 * xh], axis=-1) * w[:, None]
+    rows_v = jnp.concatenate([zeros, xh, -v2 * xh], axis=-1) * w[:, None]
+    A = jnp.concatenate([rows_u, rows_v], axis=0)
+    AtA = _einsum("ki,kj->ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    return vecs[:, 0].reshape(3, 3)
+
+
 def _sampson_chi2(E, x1, x2, K: Intrinsics):
     """Per-match squared epipolar error (pixels^2-ish) for each hypothesis.
 
@@ -132,14 +149,15 @@ def _transfer_chi2_H(Hm, x1, x2, K: Intrinsics):
     return (xfer(Hm, p1, p2) + xfer(Hinv, p2, p1)) * (K.fx**2) * 0.5
 
 
-def _decompose_H(Hn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _decompose_H(Hn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Faugeras SVD decomposition of a normalized homography into 8 (R, t) motions.
 
     Reference: Initializer::ReconstructH, initializer.cpp:568-736. Hn maps normalized
-    coordinates (K factored out), so Hn ~ R + t n^T / d directly. Near-degenerate
-    spectra (d1~d2 or d2~d3, e.g. pure rotation) produce motions that the downstream
-    cheirality/parallax validation rejects, matching the reference's early-out.
-    Returns Rs (8,3,3), ts (8,3) with unit-norm translations.
+    coordinates (K factored out), so Hn ~ R + t n^T / d directly. Returns Rs (8,3,3),
+    ts (8,3) with unit-norm translations, and a `degenerate` flag replicating the
+    reference's early-out (initializer.cpp:601-604): a near-equal singular-value
+    spectrum (d1~d2 or d2~d3, e.g. pure rotation) makes the decomposition
+    ill-conditioned, so callers must reject all 8 motions.
     """
     U, d, Vt = jnp.linalg.svd(Hn)
     s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
@@ -185,15 +203,32 @@ def _decompose_H(Hn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     Rs = s * _einsum("ij,mjk,kl->mil", U, Rp, Vt)
     ts = _einsum("ij,mj->mi", U, tp)
     ts = ts / jnp.maximum(jnp.linalg.norm(ts, axis=-1, keepdims=True), 1e-12)
-    return Rs, ts
+    degenerate = (d1 / jnp.maximum(d2, 1e-12) < 1.00001) | (
+        d2 / jnp.maximum(d3, 1e-12) < 1.00001
+    )
+    return Rs, ts, degenerate
 
 
-def _check_motions(Rs, ts, x1, x2, mask, K: Intrinsics, sigma, min_parallax_deg):
+def _check_motions(Rs, ts, x1, x2, mask, K: Intrinsics, sigma):
     """CheckRT (initializer.cpp:804-922) batched over M motion hypotheses.
 
-    Triangulates every match under each motion, validates cheirality in both views,
-    reprojection error and parallax. Returns (pts (M,N,3), good (M,N), ngood (M,))."""
+    Triangulates each hypothesis's RANSAC-inlier matches (the reference iterates
+    vbMatchesInliers) and validates cheirality in both views + reprojection error.
+    Like the reference:
+      - cheirality is waived for near-zero-parallax points (cosParallax >= 0.99998
+        skips the z<=0 rejection, :871-879) — "infinite" points triangulate to
+        arbitrary-sign depth;
+      - `ngood` counts ALL validated points (no per-point parallax demand);
+      - `good` (points eligible to become landmarks) additionally requires
+        cosParallax < 0.99998 (:906-907);
+      - `parallax_deg` is the motion's global parallax statistic: the angle of the
+        50th-smallest cosParallax among counted points (:911-917), which the
+        caller compares against minParallax.
+    mask: (N,) or (M, N) per-hypothesis inlier mask.
+    Returns (pts (M,N,3), good (M,N), ngood (M,), parallax_deg (M,))."""
     M, N = Rs.shape[0], x1.shape[0]
+    if mask.ndim == 1:
+        mask = jnp.broadcast_to(mask[None], (M, N))
     P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)[None]
     P2 = jnp.concatenate([Rs, ts[..., None]], axis=-1)  # (M, 3, 4)
     pts = triangulation.triangulate_dlt(
@@ -208,14 +243,23 @@ def _check_motions(Rs, ts, x1, x2, mask, K: Intrinsics, sigma, min_parallax_deg)
     cosp = triangulation.parallax_cosine(
         jnp.zeros((M, 3)), -_einsum("mji,mj->mi", Rs, ts), pts
     )
-    good = (
-        (z1 > 0) & (z2 > 0)
+    has_parallax = cosp < 0.99998  # initializer.cpp:871 cheirality waiver bound
+    counted = (
+        ((z1 > 0) | ~has_parallax) & ((z2 > 0) | ~has_parallax)
         & (e1 < 4.0 * sigma**2) & (e2 < 4.0 * sigma**2)
-        & (cosp < jnp.cos(jnp.deg2rad(min_parallax_deg) * 0.5))
-        & mask[None]
+        & jnp.isfinite(pts).all(-1)
+        & mask
     )
-    ngood = jnp.sum(good.astype(jnp.int32), axis=1)
-    return pts, good, ngood
+    ngood = jnp.sum(counted.astype(jnp.int32), axis=1)
+    good = counted & has_parallax
+    # global parallax: 50th smallest cosParallax among counted (or the largest
+    # counted one when fewer than 50) -> degrees
+    cosp_sorted = jnp.sort(jnp.where(counted, cosp, jnp.inf), axis=1)
+    idx50 = jnp.minimum(50, jnp.maximum(ngood - 1, 0))
+    c50 = jnp.take_along_axis(cosp_sorted, idx50[:, None], axis=1)[:, 0]
+    parallax_deg = jnp.degrees(jnp.arccos(jnp.clip(c50, -1.0, 1.0)))
+    parallax_deg = jnp.where(ngood > 0, parallax_deg, 0.0)
+    return pts, good, ngood, parallax_deg
 
 
 def initialize_two_view(
@@ -226,7 +270,7 @@ def initialize_two_view(
     key: jax.Array,
     n_hypotheses: int = 200,   # initializer.cpp:60 (200 RANSAC sets)
     sigma: float = 1.0,
-    min_good: int = 100,       # tracker.cpp:410-415 area
+    min_good: int = 50,        # minTriangulated (tracker.cpp:335 passes 50)
     min_parallax_deg: float = 1.0,
 ) -> InitResult:
     N = uv1.shape[0]
@@ -276,23 +320,51 @@ def initialize_two_view(
     Rs_e = jnp.stack([R1, R1, R2, R2])
     ts_e = jnp.stack([tu, -tu, tu, -tu])
 
-    # --- decompose best H into 8 motions (ReconstructH :568-736) ---
+    # --- decompose best H into 8 motions (ReconstructH :568-736), refit on the
+    # best hypothesis's inliers first (mirrors the E refit above) ---
     best_h = jnp.argmax(score_h)
-    Rs_h, ts_h = _decompose_H(Hm[best_h])
+    H_refit = _dlt_H_weighted(x1, x2, inl_h[best_h].astype(jnp.float32))
+    Rs_h, ts_h, h_degenerate = _decompose_H(H_refit)
 
-    # Validate all 12 motions with the shared CheckRT program; the RH rule then
-    # selects which model's winner is returned (initializer.cpp:92-98).
+    # Validate all 12 motions with the shared CheckRT program over each model's
+    # OWN RANSAC inlier set (the reference's CheckRT iterates vbMatchesInliers);
+    # the RH rule then selects which model's winner is returned (:92-98).
     Rs = jnp.concatenate([Rs_e, Rs_h], axis=0)   # (12,3,3)
     ts = jnp.concatenate([ts_e, ts_h], axis=0)
-    pts, good, ngood = _check_motions(Rs, ts, x1, x2, mask, K, sigma, min_parallax_deg)
+    model_mask = jnp.concatenate(
+        [
+            jnp.broadcast_to((inl_e[best_e] & mask)[None], (4, N)),
+            jnp.broadcast_to((inl_h[best_h] & mask)[None], (8, N)),
+        ],
+        axis=0,
+    )
+    pts, good, ngood, parallax_deg = _check_motions(
+        Rs, ts, x1, x2, model_mask, K, sigma
+    )
     model_h = jnp.arange(12) >= 4
+    # degenerate-spectrum early-out (initializer.cpp:601-604): reject all 8 H motions
+    ngood = jnp.where(model_h & h_degenerate, -1, ngood)
     ngood_model = jnp.where(model_h == is_planar, ngood, -1)
     best_m = jnp.argmax(ngood_model)
     n_best = ngood_model[best_m]
-    # reference: clear winner + enough points (ReconstructF :528-560; ReconstructH
-    # requires a unique winner among the 8, :706-735)
-    second = jnp.sort(ngood_model)[-2]
-    ok = (n_best >= min_good) & (second.astype(jnp.float32) < 0.75 * n_best.astype(jnp.float32))
+    n_bestf = n_best.astype(jnp.float32)
+    # reference acceptance, per model:
+    #   E (ReconstructF :500-516): maxGood >= max(0.9*N, minTriangulated) and no
+    #     second motion with nGood > 0.7*maxGood; winner's parallax > minParallax;
+    #   H (ReconstructH :706-735): bestGood > 0.9*N, secondBest < 0.75*bestGood,
+    #     parallax > minParallax, bestGood > minTriangulated.
+    n_model_inl = jnp.where(
+        is_planar, jnp.sum(inl_h[best_h] & mask), jnp.sum(inl_e[best_e] & mask)
+    ).astype(jnp.float32)
+    n_similar_e = jnp.sum((ngood_model.astype(jnp.float32) > 0.7 * n_bestf).astype(jnp.int32))
+    second = jnp.sort(ngood_model)[-2].astype(jnp.float32)
+    clear_winner = jnp.where(is_planar, second < 0.75 * n_bestf, n_similar_e <= 1)
+    ok = (
+        (n_best >= min_good)
+        & (n_bestf > 0.9 * n_model_inl)
+        & clear_winner
+        & (parallax_deg[best_m] > min_parallax_deg)
+    )
     return InitResult(
         R=Rs[best_m],
         t=ts[best_m],

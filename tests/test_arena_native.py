@@ -114,3 +114,55 @@ def test_register_throughput():
     dt = time.perf_counter() - t0
     assert dt < 0.05, f"add_keyframe took {dt * 1e3:.1f} ms"
     assert (arena.pt_obs_count[:2048] == 1).all()
+
+
+def test_spanning_tree_pose_composition():
+    """erase_keyframe freezes Tcp to the best covisible parent (keyframe.cpp:546-607);
+    effective_kf_pose composes through parent chains so a culled keyframe's
+    effective pose follows later refinements of its live ancestor
+    (SaveTrajectoryKITTI semantics, slam_system.cpp:283-296)."""
+    cap = CapacityConfig(max_keyframes=8, max_map_points=64, max_features=16,
+                         max_obs_per_point=8)
+    a = MapArena.create(cap)
+
+    def pose(tx):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = tx
+        return T
+
+    n = 16
+    xy = np.zeros((n, 2), np.float32)
+    ur = np.full(n, -1.0, np.float32)
+    dep = np.full(n, -1.0, np.float32)
+    octv = np.zeros(n, np.int16)
+    ang = np.zeros(n, np.float32)
+    desc = np.zeros((n, 8), np.uint32)
+    val = np.ones(n, bool)
+    pid_none = np.full(n, -1, np.int32)
+    k0 = a.add_keyframe(pose(0.0), 0, 0.0, xy, ur, dep, octv, ang, desc, val, pid_none.copy())
+    k1 = a.add_keyframe(pose(1.0), 1, 0.1, xy, ur, dep, octv, ang, desc, val, pid_none.copy())
+    k2 = a.add_keyframe(pose(2.0), 2, 0.2, xy, ur, dep, octv, ang, desc, val, pid_none.copy())
+    # shared observations so covisibility picks k1 as k2's parent
+    pids = a.add_points(np.zeros((6, 3), np.float32), np.zeros((6, 8), np.uint32),
+                        k1, np.zeros((6, 3), np.float32), np.zeros(6, np.float32),
+                        np.ones(6, np.float32))
+    a.associate_batch(k1, np.arange(6), pids)
+    a.associate_batch(k2, np.arange(6), pids)
+    a.associate_batch(k0, np.arange(2), pids[:2])
+
+    a.erase_keyframe(k2)
+    assert a.kf_parent[k2] == k1
+    # frozen relative transform reproduces the pose at cull time
+    np.testing.assert_allclose(a.effective_kf_pose(k2), pose(2.0), atol=1e-6)
+    # a later BA/loop refinement moves the parent; the culled KF follows
+    a.kf_pose[k1] = pose(5.0)
+    expect = a.kf_rel_to_parent[k2].astype(np.float64) @ pose(5.0).astype(np.float64)
+    np.testing.assert_allclose(a.effective_kf_pose(k2), expect, atol=1e-6)
+    # chain: cull the parent too (k1 -> k0), grandchild composes through both
+    a.erase_keyframe(k1)
+    assert a.kf_parent[k1] == k0
+    a.kf_pose[k0] = pose(-3.0)
+    e1 = a.kf_rel_to_parent[k1].astype(np.float64) @ pose(-3.0).astype(np.float64)
+    e2 = a.kf_rel_to_parent[k2].astype(np.float64) @ e1
+    np.testing.assert_allclose(a.effective_kf_pose(k1), e1, atol=1e-6)
+    np.testing.assert_allclose(a.effective_kf_pose(k2), e2, atol=1e-6)

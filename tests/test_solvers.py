@@ -86,7 +86,11 @@ def test_sim3_ransac_with_outliers(rng):
 
 def test_mono_initializer_recovers_motion(rng):
     n = 300
-    pts = np.stack([rng.uniform(-15, 15, n), rng.uniform(-5, 5, n), rng.uniform(8, 50, n)], -1).astype(np.float32)
+    # depth range bounded at 28 m: the acceptance replicates the reference's
+    # global parallax rule (51st-largest parallax must exceed minParallax=1 deg,
+    # initializer.cpp:911-917 + :500-516) — a scene dominated by 50 m points
+    # under a 0.7 m baseline is correctly REJECTED by both implementations.
+    pts = np.stack([rng.uniform(-15, 15, n), rng.uniform(-5, 5, n), rng.uniform(8, 28, n)], -1).astype(np.float32)
     R_true = np.asarray(se3.so3_exp(jnp.asarray([0.01, 0.05, -0.005])))
     t_true = np.array([0.6, 0.05, 0.4], np.float32)  # baseline with forward component
 
@@ -120,20 +124,26 @@ def test_mono_initializer_planar_scene(rng):
     """Planar-dominant scene: the H model wins (RH > 0.40) and the Faugeras
     decomposition (ReconstructH, initializer.cpp:568-736) recovers the motion."""
     n = 300
-    # points on a plane z = 12 + 0.2x + 0.1y with small jitter
+    # A close, clearly tilted plane seen across a wide baseline: a shallow-tilt /
+    # distant plane leaves the Faugeras twofold ambiguity unresolved (the
+    # conjugate motion also triangulates >=0.75 of the winner's points in front
+    # of both cameras) and is correctly REJECTED by the reference's
+    # secondBestGood < 0.75*bestGood rule (initializer.cpp:729) — the tracker
+    # then simply retries on a later pair. Close+tilted+wide-baseline makes the
+    # conjugate place part of the visible field behind the camera, breaking the tie.
     x = rng.uniform(-15, 15, n)
     y = rng.uniform(-5, 5, n)
-    z = 12.0 + 0.2 * x + 0.1 * y + rng.normal(0, 0.01, n)
+    z = 8.0 + 0.5 * x + 0.25 * y + rng.normal(0, 0.01, n)
     pts = np.stack([x, y, z], -1).astype(np.float32)
     R_true = np.asarray(se3.so3_exp(jnp.asarray([0.02, -0.04, 0.01])))
-    t_true = np.array([0.8, -0.1, 0.3], np.float32)
+    t_true = np.array([1.2, -0.1, 0.36], np.float32)
 
     def proj(P):
         return np.stack([K.fx * P[:, 0] / P[:, 2] + K.cx, K.fy * P[:, 1] / P[:, 2] + K.cy], -1)
 
-    uv1 = proj(pts) + rng.normal(0, 0.3, (n, 2))
+    uv1 = proj(pts) + rng.normal(0, 0.5, (n, 2))
     Xc2 = (R_true @ pts.T).T + t_true
-    uv2 = proj(Xc2) + rng.normal(0, 0.3, (n, 2))
+    uv2 = proj(Xc2) + rng.normal(0, 0.5, (n, 2))
     res = initializer.initialize_two_view(
         jnp.asarray(uv1, dtype=jnp.float32), jnp.asarray(uv2, dtype=jnp.float32),
         jnp.ones(n, bool), K, jax.random.PRNGKey(5),
