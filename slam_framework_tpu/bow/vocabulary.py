@@ -181,6 +181,77 @@ def train(
     )
 
 
+def transform_host(vocab: Vocabulary, desc: np.ndarray) -> np.ndarray:
+    """Host (numpy) batched tree descent: (N, 8) uint32 -> (N,) word ids.
+
+    Used where no device round-trip is warranted (IDF refitting over the
+    existing keyframes at vocabulary-training time)."""
+    N = desc.shape[0]
+    cur = np.zeros(N, np.int64)
+    for _ in range(vocab.depth):
+        children = vocab.node_children[cur]                    # (N, k)
+        cd = vocab.node_desc[np.maximum(children, 0)]          # (N, k, 8)
+        ham = np.bitwise_count(cd ^ desc[:, None, :]).sum(-1).astype(np.int32)
+        ham[children < 0] = 1 << 20
+        cur = children[np.arange(N), np.argmin(ham, axis=1)]
+        cur = np.maximum(cur, 0)
+    return vocab.node_word[cur]
+
+
+def refit_idf(vocab: Vocabulary, frame_word_lists: list) -> None:
+    """Set leaf weights to IDF over a corpus of frames, in place.
+
+    DBoW2 semantics (TemplatedVocabulary::create -> setNodeWeights, IDF part of
+    TF_IDF): weight(word) = log(N_frames / n_frames_containing_word); words never
+    seen keep a small floor so unseen-word hits still count."""
+    n_frames = max(len(frame_word_lists), 1)
+    df = np.zeros(vocab.num_words, np.int64)
+    for words in frame_word_lists:
+        w = np.unique(np.asarray(words))
+        w = w[(w >= 0) & (w < vocab.num_words)]
+        df[w] += 1
+    idf = np.log(n_frames / np.maximum(df, 1e-9))
+    idf = np.where(df > 0, idf, np.log(float(n_frames)))  # unseen words: max IDF
+    is_leaf = vocab.node_word >= 0
+    vocab.node_weight[is_leaf] = np.maximum(
+        idf[vocab.node_word[is_leaf]], 1e-3
+    ).astype(np.float32)
+
+
+def save_orbvoc_text(vocab: Vocabulary, path: str) -> None:
+    """Write the reference's ORBvoc.txt format (TemplatedVocabulary.h:1335-1418):
+    header `k L scoring weighting`, then per node (preorder, root excluded)
+    `parent is_leaf byte0..byte31 weight`. Node ids in the file are implicit
+    (1-based insertion order); children follow their parent, matching the
+    loader's child-slot assignment."""
+    lines = [f"{vocab.k} {vocab.depth} 0 0\n"]  # 0 0 = L1 scoring, TF-IDF
+    file_id = {0: 0}
+    order = []
+
+    def visit(node: int) -> None:
+        for ch in vocab.node_children[node]:
+            if ch < 0:
+                continue
+            file_id[int(ch)] = len(order) + 1
+            order.append(int(ch))
+            visit(int(ch))
+
+    visit(0)
+    parent_of = np.zeros(vocab.num_nodes, np.int64)
+    for n in range(vocab.num_nodes):
+        for ch in vocab.node_children[n]:
+            if ch >= 0:
+                parent_of[ch] = n
+    for node in order:
+        is_leaf = int(vocab.node_word[node] >= 0)
+        desc_bytes = vocab.node_desc[node].view(np.uint8)
+        b = " ".join(str(int(x)) for x in desc_bytes)
+        w = float(vocab.node_weight[node])
+        lines.append(f"{file_id[parent_of[node]]} {is_leaf} {b} {w}\n")
+    with open(path, "w") as f:
+        f.writelines(lines)
+
+
 def load_orbvoc_text(path: str) -> Vocabulary:
     """Load the reference's ORBvoc.txt format (TemplatedVocabulary.h:1335-1418)."""
     with open(path) as f:

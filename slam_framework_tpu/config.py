@@ -89,13 +89,18 @@ class TrackerConfig:
     new_kf_ref_ratio_mono: float = 0.9
     mono_init_min_matches: int = 100
     depth_threshold_factor: float = 35.0  # depth_threshold_ = bf*th/fx (tracker.cpp:91-94)
-    # Rotational damping of the constant-velocity motion model. The reference
-    # extrapolates the full SE3 velocity (tracker.cpp:765); undamped rotational
-    # extrapolation couples with map insertion into an unstable feedback loop
-    # (empirically: geometric error growth ~1.55x/frame until loss). Damping the
-    # rotation-rate prediction by this factor keeps turn-following while making the
-    # loop contractive.
-    velocity_rotation_damping: float = 0.75
+    # Rotational smoothing of the constant-velocity motion model. The reference
+    # extrapolates the raw per-frame SE3 velocity (tracker.cpp:765); with chunked
+    # (lag-batched) map refresh, raw rotational extrapolation couples with map
+    # insertion into an unstable feedback loop (empirically: geometric error
+    # growth ~1.55x/frame until loss). Round 1 damped the rotation rate by a
+    # constant 0.75, which stabilized the loop but UNDER-predicts sustained
+    # turns by 25% — at KITTI-like turn rates (>1 deg/frame) the projection
+    # windows walk off the features and tracking is lost. This IIR smoothing
+    # w_k = (1-a) * w_measured + a * w_{k-1} has DC gain 1 (steady turns
+    # predicted exactly) while damping the oscillatory feedback mode (gain
+    # |1-2a| < 1 for alternating errors).
+    velocity_rotation_smoothing: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

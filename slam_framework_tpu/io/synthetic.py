@@ -206,13 +206,22 @@ def make_world(
     # offset direction fixed per landmark, magnitude ~ half the sprite
     ang = rng.uniform(0, 2 * np.pi, num_landmarks)
     offsets = 0.45 * np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
-    # Unique high-contrast pattern per landmark (see SyntheticWorld.textures).
-    # NOTE: pixel-noise textures alias under the view-dependent magnification the
-    # renderer applies, so descriptors decorrelate over a few frames of forward
-    # motion (measured: ORB per-landmark min-Hamming ~90 at a 5-frame gap — for
-    # OpenCV's extractor as much as ours). Window/projection-gated matchers cope
-    # (small candidate sets); wide BoW matchers must use soft ratio tests here.
-    textures = rng.integers(0, 255, (num_landmarks, 8, 8)).astype(np.uint8)
+    # Unique high-contrast BAND-LIMITED pattern per landmark (see
+    # SyntheticWorld.textures). Raw pixel-noise textures alias under the
+    # view-dependent magnification the renderer applies — descriptors
+    # decorrelate within a few frames of motion (measured: ORB per-landmark
+    # min-Hamming ~90 at a 5-frame gap, for OpenCV's extractor as much as
+    # ours), which starves tracking in a way real imagery does not. Smoothing
+    # the noise before contrast-stretching removes the frequencies above the
+    # resampling band, so a landmark's appearance is stable across scale like
+    # a real-world surface patch.
+    raw = rng.normal(size=(num_landmarks, 16, 16)).astype(np.float32)
+    k = cv2.getGaussianKernel(7, 1.8).astype(np.float32)
+    kern = k @ k.T
+    tex = np.stack([cv2.filter2D(t, -1, kern, borderType=cv2.BORDER_REFLECT) for t in raw])
+    lo = tex.min(axis=(1, 2), keepdims=True)
+    hi = tex.max(axis=(1, 2), keepdims=True)
+    textures = (10 + 235 * (tex - lo) / np.maximum(hi - lo, 1e-6)).astype(np.uint8)
 
     return SyntheticWorld(
         cam=cam,

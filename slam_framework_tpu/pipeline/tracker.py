@@ -238,9 +238,14 @@ class StereoTracker:
         slot = jnp.where(ok2, res2.assoc, -1)
 
         vel_full = res2.pose @ se3.se3_inverse(state.pose)
-        gamma = cfg.tracker.velocity_rotation_damping
-        w_damped = se3.so3_log(vel_full[:3, :3]) * gamma
-        velocity = se3.rt_to_mat(se3.so3_exp(w_damped), vel_full[:3, 3])
+        # IIR-smoothed rotation rate (config.py velocity_rotation_smoothing):
+        # unbiased on sustained turns, contractive on the chunked-lag feedback
+        a = cfg.tracker.velocity_rotation_smoothing
+        w_meas = se3.so3_log(vel_full[:3, :3])
+        w_prev = se3.so3_log(state.velocity[:3, :3])
+        velocity = se3.rt_to_mat(
+            se3.so3_exp((1.0 - a) * w_meas + a * w_prev), vel_full[:3, 3]
+        )
         new_state = DeviceTrackState(
             pose=res2.pose,
             velocity=velocity,

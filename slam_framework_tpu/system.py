@@ -127,6 +127,15 @@ class SlamSystem:
         self._maybe_reset()
         return pose
 
+    def track_stereo_device(self, pair, timestamp: float):
+        """Stereo entry for a (2, H, W) image pair ALREADY in device HBM — the
+        production ingestion path (sensor frames prefetched to the device ahead
+        of compute; see StereoTracker.track_device)."""
+        assert self.cfg.sensor == "stereo"
+        pose = self.tracker.track_device(pair, timestamp)
+        self._maybe_reset()
+        return pose
+
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
         """Per-frame RGB-D entry (TrackRGBD, slam_system.cpp:131-172)."""
         assert self.cfg.sensor == "rgbd"
@@ -208,12 +217,28 @@ class SlamSystem:
             self._apply_world_correction(pre, self.arena.kf_pose[kf])
 
     def _train_vocabulary(self) -> None:
+        """Online vocabulary: k=10 depth=4 (10k words) with IDF weights refitted
+        from the existing keyframes — the DBoW2-scale regime (the reference's
+        ORBvoc is k=10 L=6 trained offline on a large corpus,
+        TemplatedVocabulary.h:1335-1418 + ScoringObject.cpp L1/TF-IDF). A
+        pre-trained ORBvoc.txt takes precedence when configured
+        (cfg.vocabulary_path, loaded in _build)."""
         arena = self.arena
         descs = arena.kf_desc[: arena.num_kfs][arena.kf_feat_valid[: arena.num_kfs]]
         if len(descs) < 500:
             return
-        sample = descs[np.random.default_rng(0).permutation(len(descs))[:20000]]
-        self.vocab = bow_vocab.train(sample, k=8, depth=3, seed=0)
+        sample = descs[np.random.default_rng(0).permutation(len(descs))[:30000]]
+        self.vocab = bow_vocab.train(sample, k=10, depth=4, seed=0)
+        # IDF refit over the keyframes trained on (keyframe_database scoring is
+        # TF-IDF L1; uniform weights flatten the score distribution and cost
+        # loop precision at map scale)
+        word_lists = []
+        for k in range(arena.num_kfs):
+            if not arena.kf_valid[k]:
+                continue
+            d = arena.kf_desc[k][arena.kf_feat_valid[k]]
+            word_lists.append(bow_vocab.transform_host(self.vocab, d))
+        bow_vocab.refit_idf(self.vocab, word_lists)
         self._activate_place_recognition()
 
     def _apply_world_correction(self, kf_pose_pre: np.ndarray, kf_pose_post: np.ndarray) -> None:

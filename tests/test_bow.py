@@ -117,25 +117,106 @@ def test_database_erase(vocab, sample_descs):
     assert db.detect_relocalization_candidates(bow) == []
 
 
-def test_orbvoc_text_roundtrip(tmp_path, vocab):
-    """Write a small vocab in ORBvoc.txt format and load it back."""
+def test_orbvoc_text_roundtrip(tmp_path, vocab, sample_descs):
+    """save_orbvoc_text -> load_orbvoc_text reproduces the vocabulary: same
+    structure, and the SAME transform — every query descriptor descends to a
+    leaf with identical center descriptor and identical weight (word ids are a
+    relabeling across serializations; leaf identity is the invariant)."""
     path = tmp_path / "voc.txt"
-    # serialize our trained vocab in the reference format (BFS order, parents first)
-    lines = [f"{vocab.k} {vocab.depth} 0 0\n"]
-    # nodes excluding root, in id order (parents always have smaller ids here)
-    id_map = {0: 0}
-    for i in range(1, vocab.num_nodes):
-        parent = int(np.nonzero((vocab.node_children == i).any(axis=1))[0][0])
-        is_leaf = int(vocab.node_word[i] >= 0)
-        b = vocab.node_desc[i].view(np.uint8)
-        lines.append(
-            f"{id_map[parent]} {is_leaf} " + " ".join(str(x) for x in b) + f" {vocab.node_weight[i]}\n"
-        )
-        id_map[i] = len(id_map)
-    path.write_text("".join(lines))
+    vocabulary.save_orbvoc_text(vocab, str(path))
     loaded = vocabulary.load_orbvoc_text(str(path))
     assert loaded.k == vocab.k
+    assert loaded.depth == vocab.depth
     assert loaded.num_words == vocab.num_words
     np.testing.assert_array_equal(
         np.sort(loaded.node_desc.reshape(-1)), np.sort(vocab.node_desc.reshape(-1))
     )
+
+    q = sample_descs[::7]
+    def leaf_info(v, d):
+        words = vocabulary.transform_host(v, d)
+        leaf_nodes = np.zeros(len(words), np.int64)
+        node_of_word = np.full(v.num_words, -1, np.int64)
+        node_of_word[v.node_word[v.node_word >= 0]] = np.nonzero(v.node_word >= 0)[0]
+        leaf_nodes = node_of_word[words]
+        return v.node_desc[leaf_nodes], v.node_weight[leaf_nodes]
+
+    d0, w0 = leaf_info(vocab, q)
+    d1, w1 = leaf_info(loaded, q)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_allclose(w0, w1, rtol=1e-5)
+
+
+def test_idf_refit_and_scale_training(sample_descs):
+    """10k-word-regime training (k=10, depth=4) + IDF refit: ubiquitous words get
+    low weight, rare words high weight (TemplatedVocabulary TF-IDF semantics)."""
+    voc = vocabulary.train(sample_descs, k=10, depth=4, seed=1)
+    assert voc.num_words >= 50  # sample has 50 clusters; tree resolves them
+    words_per_frame = [
+        vocabulary.transform_host(voc, sample_descs[i * 40 : (i + 1) * 40])
+        for i in range(50)
+    ]
+    vocabulary.refit_idf(voc, words_per_frame)
+    leaf_w = voc.node_weight[voc.node_word >= 0]
+    leaf_words = voc.node_word[voc.node_word >= 0]
+    df = np.zeros(voc.num_words, np.int64)
+    for w in words_per_frame:
+        df[np.unique(w)] += 1
+    seen = df[leaf_words] > 0
+    # a word present in every frame must weigh less than a single-frame word
+    if (df[leaf_words] == 1).any() and (df[leaf_words] >= 25).any():
+        assert leaf_w[df[leaf_words] == 1].min() > leaf_w[df[leaf_words] >= 25].max()
+    assert (leaf_w > 0).all()
+    assert seen.any()
+
+
+def test_loop_precision_recall_revisit():
+    """Place-recognition quality on a revisit sequence: 40 distinct places, each
+    seen twice (frames i and i+40 draw from the same descriptor clusters).
+    detect_loop_candidates must recall the true revisit with high precision."""
+    r = np.random.default_rng(7)
+    n_places, per_place = 40, 30
+    place_centers = [
+        r.integers(0, 2**32, (12, 8), dtype=np.uint64).astype(np.uint32)
+        for _ in range(n_places)
+    ]
+    def render(place, seed):
+        rr = np.random.default_rng(seed)
+        out = []
+        for _ in range(per_place):
+            c = place_centers[place][rr.integers(0, 12)].copy()
+            for _ in range(4):
+                w = rr.integers(0, 8)
+                c[w] ^= np.uint32(1) << np.uint32(rr.integers(0, 32))
+            out.append(c)
+        return np.stack(out)
+
+    frames = [render(p, 100 + p) for p in range(n_places)] + [
+        render(p, 900 + p) for p in range(n_places)
+    ]
+    all_desc = np.concatenate(frames)
+    voc = vocabulary.train(all_desc, k=10, depth=3, seed=2)
+    word_lists = [vocabulary.transform_host(voc, f) for f in frames]
+    vocabulary.refit_idf(voc, word_lists)
+    word_lists = [vocabulary.transform_host(voc, f) for f in frames]
+    db = database.KeyframeDatabase(voc.num_words)
+    bows = []
+    node_of_word = np.full(voc.num_words, -1, np.int64)
+    node_of_word[voc.node_word[voc.node_word >= 0]] = np.nonzero(voc.node_word >= 0)[0]
+    for i, wl in enumerate(word_lists):
+        w_weights = voc.node_weight[node_of_word[wl]]
+        bow = database.BowFrame(wl.astype(np.int64), w_weights)
+        bows.append(bow)
+        db.add(i, bow)
+    hits = 0
+    total = 0
+    for q in range(n_places, 2 * n_places):
+        truth = q - n_places
+        # exclude temporal neighbors like the covisible-set exclusion
+        connected = {q, q - 1, q + 1}
+        cands = db.detect_loop_candidates(bows[q], min_score=0.01, connected=connected)
+        cands = [c for c in cands if c != q]
+        total += 1
+        if truth in cands[:3]:
+            hits += 1
+    assert hits / total >= 0.9, f"revisit recall {hits}/{total}"

@@ -172,6 +172,15 @@ def main() -> int:
                     help="run at 1,2,4,...,--devices and report scaling efficiency")
     args = ap.parse_args()
 
+    if args.cpu and args.devices > 1:
+        # must land before the CPU client initializes (it is lazy, so setting it
+        # here works even though sitecustomize already imported jax)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+
     import jax
 
     if args.cpu:
