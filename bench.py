@@ -87,6 +87,7 @@ def main() -> None:
                 "vs_baseline": round(fps / 10.0, 2),
                 "ate_m": round(float(ate), 4),
                 "frames": n_frames,
+                "lost_frames": sum(1 for r in system.tracker.records if r.lost),
                 "loops_closed": stats.get("loops_closed", 0),
                 "keyframes": stats.get("keyframes", 0),
             }

@@ -1,11 +1,23 @@
-"""Synthetic stereo/mono sequence generator with exact ground truth.
+"""Synthetic stereo/mono/RGB-D sequence generator with exact ground truth.
 
 The reference is only ever exercised on KITTI files; this module provides the
 equivalent test/benchmark input without dataset access (SURVEY.md §4: module tests on
-synthetic scenes with known geometry): a random landmark field rendered as textured
-sprites (strong FAST corners), painter-sorted by depth, from a smooth KITTI-like
-trajectory. Rendering is host-side numpy/cv2; it feeds the same entry points a KITTI
-loader would.
+synthetic scenes with known geometry).
+
+Design: a RAY-CAST world of continuous textured surfaces — two concentric
+cylindrical walls plus a ground annulus, concentric with the arc the camera
+drives (the constant-yaw-rate trajectories `make_world` generates are circle
+arcs, so the corridor walls are exactly cylinders). Every image pixel lies on
+a rigid textured surface with exact depth, like real imagery: descriptors
+stay stable under viewpoint change because neighboring pixels share a surface
+(the previous sprite-field renderer put isolated <15 px sprites against
+background — smaller than the 31 px BRIEF patch, so descriptors blended
+parallax-shuffled neighbors and even OpenCV ORB found <15% consecutive-frame
+matches; that starved tracking in a way real KITTI footage does not).
+
+Rendering is host-side numpy/cv2 (a handful of vectorized surface
+intersections + mip-mapped texture lookups per frame); it feeds the same
+entry points a KITTI loader would.
 """
 
 from __future__ import annotations
@@ -18,20 +30,39 @@ import numpy as np
 
 from slam_framework_tpu.config import CameraConfig
 
+_BG = 90          # sky / beyond-fade intensity
+_T_MIN = 0.5      # nearest render distance (camera-frame z, meters)
+_N_MIPS = 4
+_FADE_M = 150.0   # distance fade (far content loses contrast, like haze)
+
+
+@dataclasses.dataclass
+class _Surface:
+    """One textured surface strip parameterized by (azimuth, second coord)."""
+
+    kind: str                 # "cyl" | "ground"
+    radius: float             # cylinder radius (cyl) — unused for ground
+    mips: List[np.ndarray]    # texture mip chain, level 0 first
+    res: float                # texture px per meter at level 0
+    az0: float                # azimuth of texture column 0
+    wrap: bool                # full-circle azimuth wrap vs clamped strip
+    y_top: float = 0.0        # upper edge (min y; y points down) — cyl only
+    y_bot: float = 0.0        # lower edge (max y) — cyl only
+
 
 @dataclasses.dataclass
 class SyntheticWorld:
     cam: CameraConfig
-    landmarks: np.ndarray    # (L, 3) world positions
-    intensities: np.ndarray  # (L,) uint8 sprite base intensity
-    sizes: np.ndarray        # (L,) physical sprite half-size (meters)
-    offsets: np.ndarray      # (L, 2) inner-square offset fraction (asymmetry for
-                             # stable intensity-centroid orientation)
-    textures: np.ndarray     # (L, 8, 8) uint8 per-landmark pattern — makes each
-                             # sprite corner DISTINCT under rotation-invariant rBRIEF
-                             # (flat squares alias: all 4 corners match each other)
-    poses: np.ndarray        # (F, 4, 4) ground-truth Tcw per frame
-    timestamps: np.ndarray   # (F,)
+    poses: np.ndarray         # (F, 4, 4) ground-truth Tcw per frame
+    timestamps: np.ndarray    # (F,)
+    center: np.ndarray        # (2,) turn-circle center in the xz plane
+    r_inner: float            # inner wall radius
+    r_outer: float            # outer wall radius
+    ground_y: float           # ground plane height (y down: below camera)
+    wall_top: float           # upper wall edge (min y)
+    surfaces: List[_Surface]
+
+    _ray_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @property
     def num_frames(self) -> int:
@@ -47,91 +78,180 @@ class SyntheticWorld:
         Tcw = self.poses[frame]
         if right:
             Tcw = self.baseline_shift() @ Tcw
-        return render_sprites(
-            self.landmarks, self.intensities, self.sizes, self.offsets, self.textures,
-            Tcw, self.cam
-        )
+        img, _ = self._raycast(Tcw)
+        return img
 
     def stereo_pair(self, frame: int) -> Tuple[np.ndarray, np.ndarray]:
         return self.render(frame, False), self.render(frame, True)
 
     def render_depth(self, frame: int) -> np.ndarray:
         """Registered depth map for the left camera (RGB-D sensor emulation):
-        painter-sorted sprite squares filled with their camera-frame z."""
-        cam = self.cam
-        Tcw = self.poses[frame]
-        depth = np.zeros((cam.height, cam.width), np.float32)
-        Xc = (Tcw[:3, :3] @ self.landmarks.T).T + Tcw[:3, 3]
-        z = Xc[:, 2]
-        vis = z > 0.5
-        u = cam.fx * Xc[:, 0] / np.where(vis, z, 1.0) + cam.cx
-        v = cam.fy * Xc[:, 1] / np.where(vis, z, 1.0) + cam.cy
-        half_px = cam.fx * self.sizes / np.where(vis, z, 1.0)
-        vis &= (u > -40) & (u < cam.width + 40) & (v > -40) & (v < cam.height + 40)
-        vis &= half_px >= 1.0
-        order = np.argsort(-z[vis])
-        for i in np.nonzero(vis)[0][order]:
-            hp = min(int(half_px[i]), 40)
-            x0, y0 = int(round(u[i])) - hp, int(round(v[i])) - hp
-            xa, ya = max(x0, 0), max(y0, 0)
-            xb, yb = min(x0 + 2 * hp + 1, cam.width), min(y0 + 2 * hp + 1, cam.height)
-            if xb > xa and yb > ya:
-                depth[ya:yb, xa:xb] = z[i]
+        exact per-pixel ray-cast depth (camera-frame z)."""
+        _, depth = self._raycast(self.poses[frame])
         return depth
 
     def rgbd_pair(self, frame: int) -> Tuple[np.ndarray, np.ndarray]:
-        return self.render(frame, False), self.render_depth(frame)
+        Tcw = self.poses[frame]
+        img, depth = self._raycast(Tcw)
+        return img, depth
+
+    # ------------------------------------------------------------------ ray casting
+
+    def _rays(self):
+        """Per-pixel camera-frame ray directions (z=1 plane) + norms, cached."""
+        key = (self.cam.width, self.cam.height)
+        if key not in self._ray_cache:
+            cam = self.cam
+            u = np.arange(cam.width, dtype=np.float32)
+            v = np.arange(cam.height, dtype=np.float32)
+            dx = (u[None, :] - cam.cx) / cam.fx
+            dy = (v[:, None] - cam.cy) / cam.fy
+            H, W = cam.height, cam.width
+            dx = np.broadcast_to(dx, (H, W)).copy()
+            dy = np.broadcast_to(dy, (H, W)).copy()
+            dn = np.sqrt(dx * dx + dy * dy + 1.0)
+            self._ray_cache[key] = (dx, dy, dn)
+        return self._ray_cache[key]
+
+    def _raycast(self, Tcw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        cam = self.cam
+        H, W = cam.height, cam.width
+        Tcw = Tcw.astype(np.float32)
+        R_wc = Tcw[:3, :3].T
+        o = (-R_wc @ Tcw[:3, 3]).astype(np.float32)   # camera center, world
+        dx, dy, dn = self._rays()
+        # world-frame ray directions for camera-frame (dx, dy, 1)
+        d = [R_wc[i, 0] * dx + R_wc[i, 1] * dy + R_wc[i, 2] for i in range(3)]
+
+        best_t = np.full((H, W), np.inf, np.float32)
+        img = np.full((H, W), np.float32(_BG))
+
+        for surf in self.surfaces:
+            if surf.kind == "ground":
+                t, px, py, cos_inc = self._hit_ground(o, d, dn, surf)
+            else:
+                t, px, py, cos_inc = self._hit_cylinder(o, d, dn, surf)
+            win = t < best_t
+            if not win.any():
+                continue
+            # mip level from the texture footprint of one image pixel
+            e = np.where(win, t, 1.0) * dn
+            foot = e / cam.fx * surf.res / np.maximum(cos_inc, 0.05)
+            level = np.clip(
+                np.round(np.log2(np.maximum(foot, 1.0))), 0, _N_MIPS - 1
+            ).astype(np.int32)
+            shade = _sample_mips(surf.mips, px, py, level, win, surf.wrap)
+            # distance fade toward background
+            w = 1.0 / (1.0 + (e / _FADE_M) ** 4)
+            shade = shade * w + _BG * (1.0 - w)
+            img = np.where(win, shade, img)
+            best_t = np.where(win, t, best_t)
+
+        depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+        return np.clip(img, 0, 255).astype(np.uint8), depth
+
+    def _hit_ground(self, o, d, dn, surf):
+        cx, cz = self.center
+        dy = d[1]
+        t = np.where(np.abs(dy) > 1e-9, (self.ground_y - o[1]) / np.where(
+            np.abs(dy) > 1e-9, dy, 1.0), np.float32(1e12))
+        hx = o[0] + t * d[0]
+        hz = o[2] + t * d[2]
+        rho = np.sqrt((hx - cx) ** 2 + (hz - cz) ** 2)
+        ok = (t > _T_MIN) & (t < 1e11) & (rho <= self.r_outer + 1.0)
+        t = np.where(ok, t, np.inf)
+        az = np.arctan2(hz - cz, hx - cx)
+        px = _az_to_px(az, surf)
+        py = (rho - (self.r_inner - 2.0)) * surf.res
+        cos_inc = np.abs(dy) / dn
+        return t, px, py, cos_inc
+
+    def _hit_cylinder(self, o, d, dn, surf):
+        cx, cz = self.center
+        ox, oz = o[0] - cx, o[2] - cz
+        a = d[0] * d[0] + d[2] * d[2]
+        b = 2.0 * (d[0] * ox + d[2] * oz)
+        c = np.float32(ox * ox + oz * oz - surf.radius ** 2)
+        disc = b * b - 4.0 * a * c
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        a_safe = np.maximum(a, 1e-12)
+        t1 = (-b - sq) / (2.0 * a_safe)
+        t2 = (-b + sq) / (2.0 * a_safe)
+        # wall is opaque from both sides: nearest intersection past _T_MIN
+        t = np.where(t1 > _T_MIN, t1, t2)
+        ok = (disc > 0.0) & (t > _T_MIN)
+        hy = o[1] + t * d[1]
+        ok &= (hy >= surf.y_top) & (hy <= surf.y_bot)
+        hx = o[0] + t * d[0]
+        hz = o[2] + t * d[2]
+        t = np.where(ok, t, np.inf)
+        az = np.arctan2(hz - cz, hx - cx)
+        px = _az_to_px(az, surf)
+        py = (hy - surf.y_top) * surf.res
+        # incidence: radial component of the unit ray
+        rad = (d[0] * (hx - cx) + d[2] * (hz - cz)) / np.float32(max(surf.radius, 1e-9))
+        cos_inc = np.abs(rad) / dn
+        return t, px, py, cos_inc
 
 
-def render_sprites(
-    landmarks: np.ndarray,
-    intensities: np.ndarray,
-    sizes: np.ndarray,
-    offsets: np.ndarray,
-    textures: np.ndarray,
-    Tcw: np.ndarray,
-    cam: CameraConfig,
-    bg: int = 90,
-) -> np.ndarray:
-    """Painter-sorted textured-square sprites. Returns (H, W) uint8."""
-    img = np.full((cam.height, cam.width), bg, np.uint8)
-    Xc = (Tcw[:3, :3] @ landmarks.T).T + Tcw[:3, 3]
-    z = Xc[:, 2]
-    vis = z > 0.5
-    u = cam.fx * Xc[:, 0] / np.where(vis, z, 1.0) + cam.cx
-    v = cam.fy * Xc[:, 1] / np.where(vis, z, 1.0) + cam.cy
-    half_px = cam.fx * sizes / np.where(vis, z, 1.0)
-    vis &= (u > -40) & (u < cam.width + 40) & (v > -40) & (v < cam.height + 40)
-    vis &= half_px >= 1.0
-    order = np.argsort(-z[vis])  # far first
-    idx = np.nonzero(vis)[0][order]
-    Hh, Ww = img.shape
-    for i in idx:
-        hp = min(int(half_px[i]), 40)
-        side = 2 * hp + 1
-        # subpixel paste: render the texture with its true fractional offset via a
-        # single small warpAffine. Integer-quantized pasting adds +-0.5 px of
-        # observation noise that does not exist in real imagery and destabilizes
-        # rotation estimation at this toy image scale.
-        x0f = u[i] - hp
-        y0f = v[i] - hp
-        x0, y0 = int(np.floor(x0f)), int(np.floor(y0f))
-        fx_, fy_ = x0f - x0, y0f - y0
-        sc = side / textures[i].shape[0]
-        M = np.array([[sc, 0, fx_], [0, sc, fy_]], np.float32)
-        out_side = side + 1
-        tile = cv2.warpAffine(
-            textures[i], M, (out_side, out_side),
-            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_TRANSPARENT,
-            dst=np.full((out_side, out_side), -1, np.int16).astype(np.uint8),
-        )
-        # interior mask: skip the 1-px border the warp leaves partially blended
-        xa, ya = max(x0 + 1, 0), max(y0 + 1, 0)
-        xb, yb = min(x0 + out_side - 1, Ww), min(y0 + out_side - 1, Hh)
-        if xb <= xa or yb <= ya:
+def _az_to_px(az: np.ndarray, surf: _Surface) -> np.ndarray:
+    """Azimuth (rad, [-pi, pi]) to level-0 texture column."""
+    rel = np.mod(az - surf.az0, 2.0 * np.pi)
+    return rel * surf.radius * surf.res
+
+
+def _sample_mips(mips, px, py, level, valid, wrap) -> np.ndarray:
+    """Mip-selected bilinear texture lookup via cv2.remap (one pass per level)."""
+    out = np.zeros(px.shape, np.float32)
+    border = cv2.BORDER_WRAP if wrap else cv2.BORDER_REFLECT
+    for l, tex in enumerate(mips):
+        m = valid & (level == l)
+        if not m.any():
             continue
-        img[ya:yb, xa:xb] = tile[ya - y0 : yb - y0, xa - x0 : xb - x0]
-    return img
+        s = 2.0 ** l
+        mapx = (px / s).astype(np.float32)
+        mapy = np.clip(py / s, 0, tex.shape[0] - 1.001).astype(np.float32)
+        sampled = cv2.remap(tex, mapx, mapy, cv2.INTER_LINEAR, borderMode=border)
+        out[m] = sampled[m]
+    return out
+
+
+_WALL_WAVES = ((4, 1.0), (9, 0.9), (21, 0.8), (48, 0.7))
+# Ground texture is larger-scale: a 25 cm (4 px) ground feature seen from 1.65 m
+# height at 15 m range foreshortens to <2 px radially, so fine ground detail
+# yields corners that alias frame-to-frame (measured 29% consecutive-frame
+# descriptor survival vs 66% on walls — which destabilizes close-point tracking
+# exactly like untextured real road does NOT: real close geometry is structured).
+_GROUND_WAVES = ((12, 1.0), (26, 0.9), (56, 0.8), (120, 0.7))
+
+
+def _make_texture(
+    rng: np.random.Generator, h: int, w: int, waves=_WALL_WAVES,
+    contrast: float = 1.0,
+) -> List[np.ndarray]:
+    """Multi-octave smoothed-noise texture + mip chain: dense FAST corners at
+    every viewing scale, band-limited so resampling keeps appearance stable."""
+    h = max(int(h), 8)
+    w = max(int(w), 8)
+    acc = np.zeros((h, w), np.float32)
+    for wavelength, weight in waves:
+        gh = max(2, int(np.ceil(h / wavelength)) + 1)
+        gw = max(2, int(np.ceil(w / wavelength)) + 1)
+        n = rng.standard_normal((gh, gw)).astype(np.float32)
+        acc += weight * cv2.resize(n, (w, h), interpolation=cv2.INTER_CUBIC)
+    lo = np.percentile(acc, 1.0)
+    hi = np.percentile(acc, 99.0)
+    tex = np.clip((acc - lo) / max(hi - lo, 1e-6), 0.0, 1.0) * 240.0 + 8.0
+    tex = 128.0 + (tex - 128.0) * contrast
+    tex = tex.astype(np.uint8)
+    mips = [tex]
+    for _ in range(_N_MIPS - 1):
+        prev = mips[-1]
+        mips.append(
+            cv2.resize(prev, (max(prev.shape[1] // 2, 4), max(prev.shape[0] // 2, 4)),
+                       interpolation=cv2.INTER_AREA)
+        )
+    return mips
 
 
 def make_world(
@@ -140,22 +260,33 @@ def make_world(
     seed: int = 0,
     speed: float = 1.0,
     yaw_rate: float = 0.002,
-    num_landmarks: int = 6000,
-    corridor_half_width: float = 14.0,
+    num_landmarks: int = 6000,   # kept for API compatibility; texture worlds
+    #                              have continuous surface detail instead
+    # 10 m: KITTI-like street (building faces ~8-15 m from the camera). Close
+    # stereo points (depth < bf*35/fx ~ 18.8 m) then cover a stable wall band;
+    # at 14 m the close set is too thin and NeedNewKeyFrame's close rule
+    # (tracker.cpp:1280-1284) fires every frame, flooding the map with
+    # duplicate young points (measured: 39 KFs/60 frames, ATE 2.5 -> 20 KFs,
+    # ATE 0.29 at 10 m).
+    corridor_half_width: float = 10.0,
 ) -> SyntheticWorld:
-    """Forward motion with gentle constant yaw through a corridor of landmarks.
+    """Forward motion at constant yaw rate through a textured corridor.
 
-    Landmarks are scattered in a band around the trajectory: sides, ground and
-    above-horizon, between 4 and 60 m from the path — KITTI-ish geometry.
+    The constant-turn trajectory is a circle arc of radius 1/yaw_rate; the
+    corridor walls are cylinders concentric with it (exactly parallel to the
+    path), the ground an annulus — KITTI-ish geometry with exact ground truth.
     """
+    del num_landmarks
     cam = cam or CameraConfig()
     rng = np.random.default_rng(seed)
 
-    # Ground-truth camera centers along an arc; camera looks along +z (world = first cam).
+    # Ground-truth camera centers along the arc; camera looks along +z
+    # (world = first camera frame), y down.
     poses = []
     yaw = 0.0
     center = np.zeros(3)
     ts = []
+    centers = []
     for f in range(num_frames):
         R_wc = np.array(
             [
@@ -164,72 +295,76 @@ def make_world(
                 [-np.sin(yaw), 0, np.cos(yaw)],
             ]
         )
-        # Tcw = [R_wc^T, -R_wc^T c]
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R_wc.T
         T[:3, 3] = -R_wc.T @ center
         poses.append(T)
+        centers.append(center.copy())
         ts.append(f / cam.fps)
         center = center + R_wc @ np.array([0.0, 0.0, speed])
         yaw += yaw_rate * speed
     poses = np.stack(poses)
+    centers = np.stack(centers)
 
-    # Landmarks on corridor SURFACES (two walls + ground), not a free 3D cloud:
-    # image-adjacent sprites must have locally-coherent depth, or descriptor patches
-    # become view-dependent (parallax shuffles overlapping sprites) and stereo/temporal
-    # matching degrades far below real-scene behavior.
-    path = np.stack([np.linalg.inv(p)[:3, 3] for p in poses])
-    seg = rng.integers(0, num_frames, num_landmarks)
-    base = path[seg]
-    surface = rng.choice(3, num_landmarks, p=[0.4, 0.4, 0.2])  # 0=left wall, 1=right, 2=ground
-    lateral = np.where(
-        surface == 0,
-        -corridor_half_width,
-        np.where(surface == 1, corridor_half_width, rng.uniform(-corridor_half_width, corridor_half_width, num_landmarks)),
-    )
-    height = np.where(
-        surface == 2,
-        1.65,  # ground plane below camera (y down)
-        rng.uniform(-3.0, 1.4, num_landmarks),
-    )
-    ahead = rng.uniform(0.0, 30.0, num_landmarks)
-    # local frame of that segment
-    dirs = np.zeros((num_frames, 3))
-    dirs[:-1] = path[1:] - path[:-1]
-    dirs[-1] = dirs[-2]
-    dirs /= np.maximum(np.linalg.norm(dirs, axis=1, keepdims=True), 1e-9)
-    side = np.cross(np.array([0.0, 1.0, 0.0]), dirs[seg])
-    lm = base + dirs[seg] * ahead[:, None] + side * lateral[:, None]
-    lm[:, 1] = height  # y-down world: positive y below camera; mix above/below horizon
-    intensities = rng.integers(10, 245, num_landmarks).astype(np.uint8)
-    sizes = rng.uniform(0.05, 0.2, num_landmarks).astype(np.float32)
-    # offset direction fixed per landmark, magnitude ~ half the sprite
-    ang = rng.uniform(0, 2 * np.pi, num_landmarks)
-    offsets = 0.45 * np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
-    # Unique high-contrast BAND-LIMITED pattern per landmark (see
-    # SyntheticWorld.textures). Raw pixel-noise textures alias under the
-    # view-dependent magnification the renderer applies — descriptors
-    # decorrelate within a few frames of motion (measured: ORB per-landmark
-    # min-Hamming ~90 at a 5-frame gap, for OpenCV's extractor as much as
-    # ours), which starves tracking in a way real imagery does not. Smoothing
-    # the noise before contrast-stretching removes the frequencies above the
-    # resampling band, so a landmark's appearance is stable across scale like
-    # a real-world surface patch.
-    raw = rng.normal(size=(num_landmarks, 16, 16)).astype(np.float32)
-    k = cv2.getGaussianKernel(7, 1.8).astype(np.float32)
-    kern = k @ k.T
-    tex = np.stack([cv2.filter2D(t, -1, kern, borderType=cv2.BORDER_REFLECT) for t in raw])
-    lo = tex.min(axis=(1, 2), keepdims=True)
-    hi = tex.max(axis=(1, 2), keepdims=True)
-    textures = (10 + 235 * (tex - lo) / np.maximum(hi - lo, 1e-6)).astype(np.uint8)
+    # Turn-circle geometry: pos(yaw) = C + R * [-cos(yaw), 0, sin(yaw)],
+    # C = (R, 0, 0) for the initial heading +z at the origin.
+    yaw_rate = max(abs(yaw_rate), 1e-5)   # straight line = huge-radius arc
+    R_path = 1.0 / yaw_rate
+    circle_center = np.array([R_path, 0.0])
+    hw = corridor_half_width
+    r_inner = max(R_path - hw, 2.0)
+    r_outer = R_path + hw
+    ground_y = 1.65
+    wall_top = -8.0          # outer wall height (9.65 m, building-like)
+    inner_top = -80.0        # inner wall is a tall canyon face: nothing sees
+    #                          over it into the ill-defined circle interior
+
+    # Texture strips cover the azimuth range the path traverses (+ margin);
+    # full-circle paths wrap.
+    az = np.unwrap(np.arctan2(centers[:, 2] - circle_center[1],
+                              centers[:, 0] - circle_center[0]))
+    margin = (40.0 + 30.0) / R_path
+    az_lo = float(az.min() - margin)
+    az_hi = float(az.max() + margin)
+    span = min(az_hi - az_lo, 2.0 * np.pi)
+    wrap = span >= 2.0 * np.pi - 1e-9
+
+    wall_res = 16.0    # texture px per meter
+    ground_res = 16.0
+    ground_h = (r_outer - r_inner + 4.0) * ground_res
+
+    surfaces = [
+        _Surface(
+            kind="cyl", radius=r_inner,
+            mips=_make_texture(rng, (ground_y - inner_top) * wall_res,
+                               span * r_inner * wall_res),
+            res=wall_res, az0=az_lo, wrap=wrap, y_top=inner_top, y_bot=ground_y,
+        ),
+        _Surface(
+            kind="cyl", radius=r_outer,
+            mips=_make_texture(rng, (ground_y - wall_top) * wall_res,
+                               span * r_outer * wall_res),
+            res=wall_res, az0=az_lo, wrap=wrap, y_top=wall_top, y_bot=ground_y,
+        ),
+        _Surface(
+            kind="ground", radius=R_path,
+            # low-contrast like real road surface: grazing-angle BRIEF patches
+            # are not viewpoint-stable, so a feature-dense ground would feed the
+            # tracker unstable close points no real sequence produces
+            mips=_make_texture(rng, ground_h, span * R_path * ground_res,
+                               waves=_GROUND_WAVES, contrast=0.30),
+            res=ground_res, az0=az_lo, wrap=wrap,
+        ),
+    ]
 
     return SyntheticWorld(
         cam=cam,
-        landmarks=lm.astype(np.float32),
-        intensities=intensities,
-        sizes=sizes,
-        offsets=offsets,
-        textures=textures,
         poses=poses.astype(np.float32),
         timestamps=np.asarray(ts),
+        center=circle_center,
+        r_inner=r_inner,
+        r_outer=r_outer,
+        ground_y=ground_y,
+        wall_top=wall_top,
+        surfaces=surfaces,
     )

@@ -256,7 +256,7 @@ def optimize_global(
             sum_Wt = jnp.sum(u_m[safe_po] * has_po[..., None], axis=1)
             dxp = -_einsum("pij,pj->pi", Hpp_inv, bp + sum_Wt) * prob.pt_mask[:, None]
 
-            new_cam = se3.se3_exp(dxc) @ cam_pose
+            new_cam = se3.compose(se3.se3_exp(dxc), cam_pose)
             new_cam = jnp.where(free[:, None, None], new_cam, cam_pose)
             new_pt = pt_pos + dxp
 
@@ -289,7 +289,8 @@ def optimize_global(
     inlier = prob.obs_mask & (chi2 <= delta2)
     total = _allred(jnp.sum(jnp.where(inlier, chi2, 0.0)))
     return GlobalBAResult(
-        cam_pose=cam_pose, pt_pos=pt_pos, obs_inlier=inlier, chi2=chi2, total_chi2=total
+        cam_pose=se3.reorthonormalize(cam_pose), pt_pos=pt_pos,
+        obs_inlier=inlier, chi2=chi2, total_chi2=total
     )
 
 

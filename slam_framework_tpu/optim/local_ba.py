@@ -169,7 +169,9 @@ def _pcg(A: jnp.ndarray, b: jnp.ndarray, iters: int = 50) -> jnp.ndarray:
     d_inv = 1.0 / jnp.maximum(jnp.abs(jnp.diag(A)), 1e-12)
 
     def mv(v):
-        return A @ v
+        # pinned precision: bf16 matvecs stall CG convergence on the
+        # ill-conditioned Schur system (diag spans ~1e6)
+        return jnp.matmul(A, v, precision=jax.lax.Precision.HIGHEST)
 
     x0 = jnp.zeros_like(b)
     r0 = b
@@ -319,7 +321,7 @@ def optimize(
             dxp = -_einsum("pij,pj->pi", Hpp_inv, bp + sum_Wt)
             dxp = dxp * prob.pt_mask[:, None]
 
-            new_cam = se3.se3_exp(dxc) @ cam_pose
+            new_cam = se3.compose(se3.se3_exp(dxc), cam_pose)
             new_cam = jnp.where(free[:, None, None], new_cam, cam_pose)
             new_pt = pt_pos + dxp
 
@@ -354,5 +356,6 @@ def optimize(
     inlier = prob.obs_mask & (chi2 <= delta2)
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return BAResult(
-        cam_pose=cam_pose, pt_pos=pt_pos, obs_inlier=inlier, chi2=chi2, total_chi2=total
+        cam_pose=se3.reorthonormalize(cam_pose), pt_pos=pt_pos,
+        obs_inlier=inlier, chi2=chi2, total_chi2=total
     )

@@ -112,16 +112,26 @@ def _inv7x7_psd(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.inv(M + 1e-6 * jnp.eye(7, dtype=M.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters", "axis_name"))
 def optimize(prob: PoseGraphProblem, iters: int = 20, cg_iters: int = 60,
-             damping: float = 1e-6) -> PoseGraphResult:
+             damping: float = 1e-6, axis_name: str | None = None) -> PoseGraphResult:
     """Gauss-Newton over the Sim3 pose graph (optimizer.cpp:718-960 equivalent:
     20 LM iterations with identity information; here GN + tiny damping since the
-    problem is a well-posed graph anchored by the fixed loop keyframe)."""
+    problem is a well-posed graph anchored by the fixed loop keyframe).
+
+    axis_name: when set, the caller runs this inside jax.shard_map with the EDGE
+    table sharded over that mesh axis and the vertex state replicated; every
+    edge-indexed reduction (gradient scatter, block-diagonal, Hessian-vector
+    product, cost) is psum'd so each device holds the full replicated result —
+    the same SPMD recipe as parallel/dist_ba.py (all-reduce payload is O(V·7)
+    per CG iteration, riding ICI)."""
     V = prob.v_R.shape[0]
     free = (~prob.v_fixed) & prob.v_mask
     free_f = free.astype(jnp.float32)[:, None]  # (V, 1)
     ew = (prob.e_mask.astype(jnp.float32) * prob.e_weight)
+    _allred = (
+        (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
+    )
 
     def gn_step(state, _):
         R, t, s = state
@@ -131,18 +141,20 @@ def optimize(prob: PoseGraphProblem, iters: int = 20, cg_iters: int = 60,
         Sji = {"R": prob.e_R, "t": prob.e_t, "s": prob.e_s}
         r, Ji, Jj = jax.vmap(_edge_res_jac)(Si, Sj, Sji)  # (E,7), (E,7,7), (E,7,7)
         r = r * ew[:, None]
-        cost = jnp.sum(r * r)
+        cost = _allred(jnp.sum(r * r))
 
         # gradient: g[v] = sum_e J^T r, scattered by endpoint
         gi = _einsum("eij,ei->ej", Ji, r)
         gj = _einsum("eij,ei->ej", Jj, r)
-        g = jnp.zeros((V, 7)).at[prob.e_i].add(gi * ew[:, None]).at[prob.e_j].add(gj * ew[:, None])
+        g = _allred(
+            jnp.zeros((V, 7)).at[prob.e_i].add(gi * ew[:, None]).at[prob.e_j].add(gj * ew[:, None])
+        )
         g = g * free_f
 
         # block-diagonal of H for the preconditioner
         Hi = _einsum("eij,eik->ejk", Ji, Ji) * ew[:, None, None]
         Hj = _einsum("eij,eik->ejk", Jj, Jj) * ew[:, None, None]
-        Hdiag = jnp.zeros((V, 7, 7)).at[prob.e_i].add(Hi).at[prob.e_j].add(Hj)
+        Hdiag = _allred(jnp.zeros((V, 7, 7)).at[prob.e_i].add(Hi).at[prob.e_j].add(Hj))
         Minv = _inv7x7_psd(Hdiag)
 
         def hvp(v):
@@ -150,9 +162,11 @@ def optimize(prob: PoseGraphProblem, iters: int = 20, cg_iters: int = 60,
             vj = v[prob.e_j]
             u = (_einsum("eij,ej->ei", Ji, vi)
                  + _einsum("eij,ej->ei", Jj, vj)) * ew[:, None]  # (E, 7)
-            out = (jnp.zeros((V, 7))
-                   .at[prob.e_i].add(_einsum("eij,ei->ej", Ji, u))
-                   .at[prob.e_j].add(_einsum("eij,ei->ej", Jj, u)))
+            out = _allred(
+                jnp.zeros((V, 7))
+                .at[prob.e_i].add(_einsum("eij,ei->ej", Ji, u))
+                .at[prob.e_j].add(_einsum("eij,ei->ej", Jj, u))
+            )
             return out * free_f + damping * v
 
         dx = -_pcg_block(hvp, g, Minv, cg_iters) * free_f
@@ -169,7 +183,7 @@ def optimize(prob: PoseGraphProblem, iters: int = 20, cg_iters: int = 60,
         Sj2 = jax.tree.map(lambda a: a[prob.e_j], {"R": R2, "t": t2, "s": s2})
         rel2 = sim3.compose(Sji, sim3.compose(Si2, sim3.inverse(Sj2)))
         r2 = jax.vmap(sim3.log)(rel2) * ew[:, None]
-        cost2 = jnp.sum(r2 * r2)
+        cost2 = _allred(jnp.sum(r2 * r2))
         better = cost2 < cost
         R = jnp.where(better, R2, R)
         t = jnp.where(better, t2, t)

@@ -142,7 +142,7 @@ def optimize_pose(
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
             dx = -chol_solve_small(Hd, b, 6)  # GN: J^T W J dx = -J^T W r
             # (jnp.linalg.solve on 6x6 costs ~3.7 ms/call on TPU — see utils/linalg)
-            Tcw_new = se3.se3_exp(dx) @ Tcw
+            Tcw_new = se3.compose(se3.se3_exp(dx), Tcw)
             # Accept if total robust error decreased.
             r_new, _, z_new = _residuals_jacobians(Tcw_new, obs, K)
             chi2_new = chi2_of(r_new, z_new)
@@ -171,6 +171,9 @@ def optimize_pose(
     )
     r, _, z = _residuals_jacobians(Tcw, obs, K)
     chi2 = chi2_of(r, z)
+    # 40 f32 retraction composes drift R off SO(3); downstream consumers
+    # (velocity model, triangulation, BA seeds) assume a proper rotation
+    Tcw = se3.reorthonormalize(Tcw)
     return PoseOptResult(
         pose=Tcw,
         inliers=inliers,

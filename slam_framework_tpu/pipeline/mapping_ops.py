@@ -68,13 +68,13 @@ def compact_first_match(res: TriangulationResult) -> CompactTriangulation:
 def _fundamental_12(T1w: jnp.ndarray, T2w: jnp.ndarray, K: Intrinsics) -> jnp.ndarray:
     """F12 such that x2^T F12 x1 = 0 (ComputeFundamentalMatrix,
     local_mapper.cpp:615-630 computes the transpose convention; we keep x2'Fx1)."""
-    T21 = T2w @ se3.se3_inverse(T1w)
+    T21 = se3.compose(T2w, se3.se3_inverse(T1w))
     R = T21[:3, :3]
     t = T21[:3, 3]
-    E = se3.hat(t) @ R
+    E = _mm(se3.hat(t), R)
     Km = jnp.array([[K.fx, 0, K.cx], [0, K.fy, K.cy], [0, 0, 1.0]])
     Kinv = jnp.linalg.inv(Km)
-    return Kinv.T @ E @ Kinv
+    return _mm(_mm(Kinv.T, E), Kinv)
 
 
 def _epipolar_dist2(F12: jnp.ndarray, xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +82,7 @@ def _epipolar_dist2(F12: jnp.ndarray, xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp
     (CheckDistEpipolarLine, orb_matcher.cpp:~720)."""
     ones1 = jnp.ones((xy1.shape[0], 1), xy1.dtype)
     x1h = jnp.concatenate([xy1, ones1], axis=1)           # (N1, 3)
-    lines = x1h @ F12.T                                    # (N1, 3) line in image 2
+    lines = _mm(x1h, F12.T)                                # (N1, 3) line in image 2
     a, b, c = lines[:, 0:1], lines[:, 1:2], lines[:, 2:3]
     # dist^2 = (a u2 + b v2 + c)^2 / (a^2 + b^2)
     val = a * xy2[:, 0][None, :] + b * xy2[:, 1][None, :] + c

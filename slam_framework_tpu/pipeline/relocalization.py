@@ -27,6 +27,7 @@ from slam_framework_tpu.map.arena import MapArena
 from slam_framework_tpu.matching import hamming, matcher
 from slam_framework_tpu.optim import pose_opt
 from slam_framework_tpu.solvers import pnp
+from slam_framework_tpu.utils.precision import einsum as _einsum
 
 
 def _guided_match(
@@ -37,7 +38,7 @@ def _guided_match(
     (reference: orb_matcher.cpp:1455-1582, called from tracker.cpp:944 with
     window=10, ORBdist=100): project world points through Tcw, gate frame features
     by a pixel window, Hamming-match, dedup per frame feature."""
-    pc = pts_w @ R.T + t[None, :]
+    pc = _einsum("ni,ji->nj", pts_w, R) + t[None, :]
     z = jnp.where(pc[:, 2] > 1e-6, pc[:, 2], 1e-6)
     uv = jnp.stack([K.fx * pc[:, 0] / z + K.cx, K.fy * pc[:, 1] / z + K.cy], axis=-1)
     ok = pt_mask & (pc[:, 2] > 0.05)

@@ -191,7 +191,7 @@ class StereoTracker:
 
     def _track_core(self, state: DeviceTrackState, fd: FrameData, block: track_ops.PointBlock):
         cfg = self.cfg
-        pred = state.velocity @ state.pose
+        pred = se3.compose(state.velocity, state.pose)
 
         res1 = track_ops.track_motion(
             fd, pred, state.pt_pos, state.desc, state.octave, state.angle,
@@ -212,17 +212,26 @@ class StereoTracker:
         def _reference_path(_):
             fb = track_ops.track_reference_fallback(fd, state.pose, block, K=self.K)
             prior_fb = jnp.where((fb.assoc >= 0) & fb.inlier, fb.assoc, -1)
-            # adopt the fallback only when it actually locked on (reference
-            # requires >= 10 inliers, tracker.cpp:693); otherwise the motion
-            # prediction — however weak — is the better local-map seed
-            good = fb.n_inliers >= 10
+            # adopt the fallback only when it locked on BETTER than the motion
+            # path (reference requires >= 10 inliers, tracker.cpp:693); a weak
+            # motion lock can be a false consensus of window-gated chance
+            # matches (measured: a 4 m prediction error on self-similar texture
+            # still leaves ~36 chi2-consistent matches), so the arbiter is
+            # inlier count, not a fixed accept bar
+            good = (fb.n_inliers >= 10) & (fb.n_inliers > res1.n_inliers)
             return (
                 jnp.where(good, fb.pose, res1.pose),
                 jnp.where(good, prior_fb, prior_motion),
             )
 
+        # Run the fallback ladder whenever the motion lock is WEAK (< 60
+        # inliers), not only when it is dead (< 15): both branches of the cond
+        # are compiled once, only the taken branch executes, so the global
+        # rescue costs nothing on healthy frames (200-350 inliers) and one
+        # extra Hamming+pose-opt on weak ones — unlike the reference's CPU
+        # ladder (tracker.cpp:486-540), which must choose one path up front.
         pose1, prior = jax.lax.cond(
-            res1.n_inliers >= 15, _motion_path, _reference_path, None
+            res1.n_inliers >= 60, _motion_path, _reference_path, None
         )
 
         # th=2: the block refreshes one chunk late (bounded staleness), so point
@@ -237,7 +246,7 @@ class StereoTracker:
         ok2 = (res2.assoc >= 0) & res2.inlier
         slot = jnp.where(ok2, res2.assoc, -1)
 
-        vel_full = res2.pose @ se3.se3_inverse(state.pose)
+        vel_full = se3.compose(res2.pose, se3.se3_inverse(state.pose))
         # IIR-smoothed rotation rate (config.py velocity_rotation_smoothing):
         # unbiased on sustained turns, contractive on the chunked-lag feedback
         a = cfg.tracker.velocity_rotation_smoothing
@@ -265,6 +274,8 @@ class StereoTracker:
         summary = summary.at[18].set(jnp.sum((close & (slot >= 0)).astype(jnp.int32)).astype(jnp.float32))
         summary = summary.at[19].set(jnp.sum((close & (slot < 0)).astype(jnp.int32)).astype(jnp.float32))
         summary = summary.at[20].set(jnp.sum(fd.valid.astype(jnp.int32)).astype(jnp.float32))
+        summary = summary.at[21].set(jnp.sum(res2.visible.astype(jnp.int32)).astype(jnp.float32))
+        summary = summary.at[22].set(res1.n_inliers.astype(jnp.float32))
 
         # duplicate-suppression: existing block point each unassociated feature
         # re-detects (OrbMatcher::Fuse semantics) — used at keyframe creation
@@ -475,7 +486,9 @@ class StereoTracker:
                 self.state = TrackingState.OK
                 rec = FrameRecord(fid, ts, pose, False, self.ref_kf)
                 self.metrics.add(event="frame", frame_id=fid,
-                                 matches=int(s[16]), inliers=n_inliers)
+                                 matches=int(s[16]), inliers=n_inliers,
+                                 visible=int(s[21]), motion_inliers=int(s[22]),
+                                 close_tracked=int(s[18]), close_new=int(s[19]))
                 if (
                     made_kf < self.MAX_KFS_PER_CHUNK
                     and not self.localization_only
@@ -567,13 +580,22 @@ class StereoTracker:
         ref_ratio = 0.75 if self.arena.n_valid_kfs > 2 else 0.4
         # reference compares against ref-KF map points with >= 3 observations
         # (KeyFrame::TrackedMapPoints, tracker.cpp:1262-1264), not all associations
-        under_ratio = n_inliers < self._ref_kf_tracked_strong() * ref_ratio
+        ref_strong = self._ref_kf_tracked_strong()
+        under_ratio = n_inliers < ref_strong * ref_ratio
         overdue = frames_since >= cfg.max_frames_between_kfs
-        return overdue or (
+        decision = overdue or (
             (under_ratio or need_close)
             and frames_since >= max(cfg.min_frames_between_kfs, 1)
             and n_inliers > 15
         )
+        if decision:
+            self.metrics.add(
+                event="kf_decision", frame_id=fid, overdue=overdue,
+                under_ratio=under_ratio, need_close=need_close,
+                inliers=n_inliers, ref_strong=ref_strong,
+                close_tracked=tracked_close, close_new=untracked_close,
+            )
+        return decision
 
     # ------------------------------------------------------------------ init / keyframes
 
@@ -700,13 +722,18 @@ class StereoTracker:
             pose, fid, ts, xy, u_right, depth, octave, angle, desc, valid,
             point_ids.copy(),
         )
-        # New points for ALL unassociated stereo depths. The reference creates only
-        # close ones here (tracker.cpp:1340-1373) and relies on LocalMapper's
-        # multi-view triangulation (local_mapper.cpp:258-492) for far points; far
-        # stereo points are noisier but local BA refines them with multi-view
-        # constraints, and starving the map of far points decays tracking.
+        # New points from stereo depth, the reference's rule (tracker.cpp:1340-1373):
+        # every unassociated CLOSE feature (depth < threshold) becomes a point, and
+        # if that yields < 100 the nearest far ones pad up to 100. Far single-view
+        # stereo depth is noisy (sigma_z ~ z^2/bf); flooding the map with one-view
+        # far points crowds BA-refined geometry out of the fixed-capacity local
+        # block and erodes tracking (measured: inliers 890 -> lost in 40 frames on
+        # the r3 bench when creating ALL depths). Far geometry comes from the
+        # mapper's multi-view triangulation instead (local_mapper.cpp:258-492).
         cand = np.nonzero((depth > 0) & valid & (point_ids < 0))[0]
         cand = cand[np.argsort(depth[cand], kind="stable")]
+        n_close = int((depth[cand] < cfg.depth_threshold).sum())
+        cand = cand[: max(n_close, 100)]
         if len(cand):
             pids = self._create_points_from_stereo(kf, cand, pose, xy, depth, octave, desc)
             point_ids[cand] = pids
@@ -774,18 +801,53 @@ class StereoTracker:
 
     def _rebuild_block(self) -> None:
         """Assemble the device point block from the current local map
-        (UpdateLocalKeyFrames/Points, tracker.cpp:1002-1134): points of the newest
-        keyframe's covisible set, capped; refreshed on every map change."""
+        (UpdateLocalKeyFrames/Points, tracker.cpp:1002-1134): every keyframe
+        sharing observations with the newest keyframe VOTES (no minimum — the
+        reference counts any shared point, tracker.cpp:1039-1050), then the
+        set expands with each voter's top covisible neighbors up to the 80-KF
+        cap (tracker.cpp:1082-1133). Points are the union over the local set;
+        an over-cap block keeps the BEST-observed points, not the newest ids."""
         arena = self.arena
         kf = self.ref_kf if self.ref_kf >= 0 else arena.num_kfs - 1
-        kfs = arena.covisible_keyframes(kf, min_shared=15, max_n=self.cfg.tracker.local_map_kf_cap - 1)
-        kfs = np.concatenate([[kf], kfs]).astype(np.int64)
+        kf_cap = self.cfg.tracker.local_map_kf_cap
+        votes = arena.covisibility_counts(kf)
+        voters = np.nonzero(votes > 0)[0]
+        voters = voters[np.argsort(-votes[voters], kind="stable")]
+        local = [kf]
+        in_set = {kf}
+        for v in voters[: kf_cap - 1]:
+            local.append(int(v))
+            in_set.add(int(v))
+        # neighbor expansion (tracker.cpp:1082-1115): each voter contributes its
+        # best not-yet-included covisible neighbor until the cap
+        for v in list(local[1:]):
+            if len(local) >= kf_cap:
+                break
+            for nb in arena.covisible_keyframes(v, min_shared=15, max_n=10):
+                if int(nb) not in in_set:
+                    local.append(int(nb))
+                    in_set.add(int(nb))
+                    break
+        kfs = np.asarray(local, np.int64)
         pid_set = arena.kf_point_idx[kfs].reshape(-1)
         pid_set = np.unique(pid_set[pid_set >= 0])
         pid_set = pid_set[arena.pt_valid[pid_set]]
         cap = self.cfg.capacity.local_window_points
         if len(pid_set) > cap:
-            pid_set = pid_set[-cap:]
+            # Survivor policy for an over-cap block: order by (most recent
+            # observing keyframe, observation count). The frontier — points the
+            # newest keyframes see — must stay in the block or freshly created
+            # geometry never gains observations (fuse can only bind re-detections
+            # to block members); among equally recent points the better-anchored
+            # win. Newest-by-pid (the old rule) silently dropped BA-refined old
+            # geometry; pure obs-count starves the frontier.
+            last_obs = arena.pt_obs_kf[pid_set].max(axis=1).astype(np.int64)
+            obs_n = np.minimum(arena.pt_obs_count[pid_set], 63).astype(np.int64)
+            score = last_obs * 64 + obs_n
+            keep = np.argsort(-score, kind="stable")[:cap]
+            self.metrics.add(event="cap_clip", site="local_block",
+                             kept=cap, dropped=int(len(pid_set) - cap))
+            pid_set = np.sort(pid_set[keep])
         P = cap
         ids = np.full(P, -1, np.int32)
         ids[: len(pid_set)] = pid_set

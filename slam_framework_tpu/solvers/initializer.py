@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from slam_framework_tpu.geometry import triangulation
 from slam_framework_tpu.geometry.projection import Intrinsics
-from slam_framework_tpu.utils.precision import einsum as _einsum
+from slam_framework_tpu.utils.precision import einsum as _einsum, matmul as _mm
 
 CHI2_H = 5.991   # initializer.cpp CheckHomography
 CHI2_F = 3.841   # CheckFundamental (1-dof transfer)
@@ -83,7 +83,7 @@ def _eight_point_E_weighted(x1, x2, w):
     _, vecs = jnp.linalg.eigh(AtA)
     E = vecs[:, 0].reshape(3, 3)
     U, s, Vt = jnp.linalg.svd(E)
-    return (U * jnp.asarray([1.0, 1.0, 0.0])[None, :]) @ Vt
+    return _mm(U * jnp.asarray([1.0, 1.0, 0.0])[None, :], Vt)
 
 
 def _dlt_H(x1, x2):
@@ -313,8 +313,8 @@ def initialize_two_view(
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
     Wm = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
-    R1 = U @ Wm @ Vt
-    R2 = U @ Wm.T @ Vt
+    R1 = _mm(_mm(U, Wm), Vt)
+    R2 = _mm(_mm(U, Wm.T), Vt)
     tu = U[:, 2]
     tu = tu / jnp.maximum(jnp.linalg.norm(tu), 1e-12)
     Rs_e = jnp.stack([R1, R1, R2, R2])

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from slam_framework_tpu.geometry.projection import Intrinsics
-from slam_framework_tpu.utils.precision import einsum as _einsum
+from slam_framework_tpu.utils.precision import einsum as _einsum, matmul as _mm
 
 MIN_SET = 6
 
@@ -157,15 +157,15 @@ def _dlt_resection_weighted(pts_w: jnp.ndarray, uv_norm: jnp.ndarray, w: jnp.nda
     _, vecs = jnp.linalg.eigh(AtA)
     Pn = vecs[:, 0].reshape(3, 4)
     Rp = Pn[:, :3] / s_n
-    tp = Pn[:, 3] - Rp @ mean
-    z = (pts_w @ Rp.T)[:, 2] + tp[2]
+    tp = Pn[:, 3] - _einsum("ij,j->i", Rp, mean)
+    z = _einsum("ni,i->n", pts_w, Rp[2]) + tp[2]
     flip = jnp.sum(jnp.where(w[:, 0] > 0, jnp.sign(z), 0.0)) < 0
     sgn = jnp.where(flip, -1.0, 1.0)
     Rp = Rp * sgn
     tp = tp * sgn
     U, s, Vt = jnp.linalg.svd(Rp)
-    det = jnp.linalg.det(U @ Vt)
+    det = jnp.linalg.det(_mm(U, Vt))
     D = jnp.asarray([1.0, 1.0, 0.0]) + jnp.asarray([0.0, 0.0, 1.0]) * det
-    R_ortho = (U * D[None, :]) @ Vt
+    R_ortho = _mm(U * D[None, :], Vt)
     tp = tp / jnp.maximum(jnp.mean(s), 1e-12)
     return R_ortho, tp

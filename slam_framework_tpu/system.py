@@ -108,9 +108,18 @@ class SlamSystem:
         """Structured run metrics: tracking aggregates + per-stage wall clocks
         (the reference logs nothing structured, SURVEY.md §5.5; here it is a
         first-class output)."""
+        caps = dict(self.tracker.local_mapper.cap_clips)
+        if self.loop_closer:
+            caps.update(self.loop_closer.cap_clips)
+        block_clips = [
+            r for r in self.tracker.metrics.records if r.get("event") == "cap_clip"
+        ]
+        if block_clips:
+            caps["local_block_points"] = sum(r.get("dropped", 0) for r in block_clips)
         return {
             "tracking": self.tracker.metrics.summary(),
             "stages": self.tracker.timers.summary(),
+            "cap_clips": caps,
         }
 
     def dump_metrics(self, path: str) -> None:

@@ -157,3 +157,59 @@ class TestReset:
             sys_.track_stereo(l, r, w.timestamps[f])
         sys_.tracker.flush()
         assert sys_.tracking_state in (TrackingState.OK, TrackingState.NOT_INITIALIZED)
+
+
+class TestLoopClosureE2E:
+    def test_full_circle_closes_loop_and_reduces_ate(self):
+        """Full-system loop closure on rendered frames (VERDICT r2 item 3).
+
+        Drives SlamSystem over a ~1.1-lap circular corridor so the revisit
+        must be recognized through the REAL pipeline — tracking -> keyframes
+        -> online BoW -> covisibility-consistent candidates -> Sim3 ->
+        correction + essential-graph optimization (loop_closer.cpp:194-695) —
+        and asserts the closure actually repairs accumulated drift: the final
+        trajectory's ATE over the pre-closure frame prefix beats the drifted
+        snapshot taken while loops_closed was still 0."""
+        cfg = _cfg()
+        # 200-frame lap + 70 revisit frames. The lap must be long enough that
+        # the revisit CANNOT silently reattach through the local block: on a
+        # 112-frame lap the whole map (~15 KFs) fits inside the 80-KF local
+        # window, old points stay matchable, covisibility bridges the seam and
+        # the explicit loop path never runs (probed: candidates were near-past
+        # KFs and Sim3 rightly rejected them). At ~40 lap KFs the revisit KF's
+        # local set no longer reaches lap start, duplicate geometry accrues,
+        # and detection must go through BoW voting (loop_closer.cpp:194-297).
+        n_frames = 270
+        world = synthetic.make_world(
+            num_frames=n_frames, cam=cfg.camera, seed=4, speed=1.0,
+            yaw_rate=2.0 * np.pi / 200.0, num_landmarks=2500,
+            corridor_half_width=7.0,
+        )
+        sys_ = SlamSystem(cfg)
+        snap_ate = None
+        snap_n = 0
+        for f in range(n_frames):
+            l, r = world.stereo_pair(f)
+            sys_.track_stereo(l, r, world.timestamps[f])
+            closed = sys_.loop_closer.n_loops_closed if sys_.loop_closer else 0
+            if closed == 0 and f >= 100 and f % 20 == 0:
+                sys_.tracker.flush()
+                est = sys_.frame_poses()
+                gt = world.poses[[r.frame_id for r in sys_.tracker.records]]
+                snap_ate = trajectory.ate_rmse(est, gt, align="se3")
+                snap_n = len(est)
+        stats = sys_.shutdown()
+        assert stats["loops_closed"] >= 1, f"no loop closed: {stats}"
+        lost = sum(1 for r in sys_.tracker.records if r.lost)
+        assert lost <= 3, f"{lost} lost frames"
+        est = sys_.frame_poses()
+        gt = world.poses[[r.frame_id for r in sys_.tracker.records]]
+        ate_final = trajectory.ate_rmse(est, gt, align="se3")
+        # the closure must repair drift on the SAME pre-closure prefix
+        ate_prefix = trajectory.ate_rmse(est[:snap_n], gt[:snap_n], align="se3")
+        assert snap_ate is not None and snap_ate > 0
+        assert ate_prefix < snap_ate, (
+            f"loop closure did not reduce drift: before {snap_ate:.3f} m, "
+            f"after {ate_prefix:.3f} m"
+        )
+        assert ate_final < 1.0, f"post-closure ATE {ate_final:.3f} m"
