@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.optim import global_ba
 from slam_framework_tpu.optim.global_ba import GlobalBAProblem, GlobalBAResult, _next_pow2
+from slam_framework_tpu.parallel import multihost
 
 
 def shard_problem(prob: GlobalBAProblem, n_shards: int) -> GlobalBAProblem:
@@ -185,6 +186,14 @@ def optimize_global_sharded(
     fn = jax.jit(
         jax.shard_map(body, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
     )
+    if multihost.is_multiprocess(mesh):
+        # the mesh spans processes: inputs must be GLOBAL arrays (each process
+        # contributes its addressable shards); jit auto-placement only handles
+        # process-local devices
+        sharded = GlobalBAProblem(*[
+            multihost.place(a, NamedSharding(mesh, spec))
+            for a, spec in zip(sharded, in_specs)
+        ])
     return fn(sharded)
 
 

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from slam_framework_tpu.optim import pose_graph
 from slam_framework_tpu.optim.pose_graph import PoseGraphProblem, PoseGraphResult
+from slam_framework_tpu.parallel import multihost
 
 
 def shard_problem(prob: PoseGraphProblem, n_shards: int) -> PoseGraphProblem:
@@ -86,11 +87,13 @@ def optimize_sharded(
     fn = jax.jit(
         jax.shard_map(body, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
     )
-    # lay the edge blocks onto devices
+    # lay the edge blocks onto devices; a mesh spanning processes needs GLOBAL
+    # arrays (each process contributes its addressable shards)
     ns_edge = NamedSharding(mesh, edge_spec)
     ns_rep = NamedSharding(mesh, rep)
+    put = multihost.place if multihost.is_multiprocess(mesh) else jax.device_put
     placed = PoseGraphProblem(*[
-        jax.device_put(a, ns_edge if spec is edge_spec else ns_rep)
+        put(a, ns_edge if spec is edge_spec else ns_rep)
         for a, spec in zip(sharded, in_specs)
     ])
     return fn(placed)
