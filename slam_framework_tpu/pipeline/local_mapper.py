@@ -26,7 +26,7 @@ from slam_framework_tpu.config import SlamConfig
 from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.map.arena import MapArena
 from slam_framework_tpu.optim import local_ba
-from slam_framework_tpu.pipeline import mapping_ops
+from slam_framework_tpu.pipeline import kf_store, mapping_ops
 from slam_framework_tpu.utils.observability import StageTimers
 
 
@@ -52,14 +52,38 @@ class LocalMapper:
                 iters_second=cfg.mapping.local_ba_iters_second,
             )
         )
-        self._jit_triangulate = jax.jit(
-            lambda cur, nbrs, mb: mapping_ops.compact_first_match(
+        # Device-resident keyframe feature store: triangulation/fuse dispatches
+        # ship indices + poses + masks; the blocks are gathered in-program from
+        # HBM (round 2 re-uploaded ~1.4 MB of blocks per keyframe through the
+        # dev tunnel — the largest single host-side cost in the r3 profile).
+        self.kf_store = kf_store.DeviceKFStore(
+            cfg.capacity.max_keyframes, arena.kf_xy.shape[1], device=self.device
+        )
+
+        def _triangulate(packs, descs, idxs, poses, cand, mb):
+            blocks = mapping_ops.block_from_store(packs, descs, idxs, poses, cand)
+            cur = jax.tree.map(lambda a: a[0], blocks)
+            nbrs = jax.tree.map(lambda a: a[1:], blocks)
+            return mapping_ops.compact_first_match(
                 mapping_ops.triangulate_with_neighbors(
                     cur, nbrs, mb, K=K, num_levels=cfg.orb.num_levels,
                     scale_factor=cfg.orb.scale_factor,
                 )
             )
-        )
+
+        self._jit_triangulate = jax.jit(_triangulate)
+
+        def _fuse(packs, descs, idxs, poses, cand,
+                  pt_pos, pt_desc, pt_normal, pt_min_d, pt_max_d, pt_mask):
+            nbrs = mapping_ops.block_from_store(packs, descs, idxs, poses, cand)
+            return mapping_ops.fuse_points_into_kfs(
+                pt_pos, pt_desc, pt_normal, pt_min_d, pt_max_d, pt_mask, nbrs,
+                K=K, num_levels=cfg.orb.num_levels,
+                scale_factor=cfg.orb.scale_factor,
+                image_wh=(cfg.camera.width, cfg.camera.height),
+            )
+
+        self._jit_fuse = jax.jit(_fuse)
         self.last_ba_stats: dict = {}
         self.last_triangulation: dict = {}
         self.last_fuse: dict = {}
@@ -123,30 +147,6 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ triangulation
 
-    def _kf_blocks(
-        self, kfs: np.ndarray, cand_on: np.ndarray, free_only: bool = True
-    ) -> "mapping_ops.KFBlock":
-        """One stacked block for several keyframes — a SINGLE host->device upload
-        per field (per-KF uploads cost one tunnel RPC each; at 10 neighbors x 7
-        fields that alone was ~1s per keyframe). free_only: restrict candidate
-        features to those without a map point (triangulation wants free features;
-        the fuse pass wants all — bound features become merge candidates)."""
-        arena = self.arena
-        kfs = np.asarray(kfs, np.int64)
-        cand = arena.kf_feat_valid[kfs] & cand_on[:, None]
-        if free_only:
-            cand &= arena.kf_point_idx[kfs] < 0
-        put = lambda a: jax.device_put(a, self.device)
-        return mapping_ops.KFBlock(
-            pose=put(arena.kf_pose[kfs]),
-            xy=put(arena.kf_xy[kfs]),
-            ur=put(arena.kf_ur[kfs]),
-            octave=put(arena.kf_octave[kfs].astype(np.int32)),
-            angle=put(arena.kf_angle[kfs]),
-            desc=put(arena.kf_desc[kfs]),
-            cand=put(cand),
-        )
-
     def _dispatch_triangulation(self, kf: int):
         """First half of CreateNewMapPoints (local_mapper.cpp:258-492): build +
         async-dispatch the batched triangulation program for this keyframe
@@ -159,17 +159,22 @@ class LocalMapper:
         )
         if len(nbr_ids) == 0:
             return None
-        cur = jax.tree.map(
-            lambda a: a[0], self._kf_blocks(np.asarray([kf]), np.ones(1, bool))
-        )
         # pad to the static neighbor count with disabled slots
         padded = np.concatenate([nbr_ids, np.full(Nn - len(nbr_ids), nbr_ids[0])])
         cand_on = np.arange(Nn) < len(nbr_ids)
-        nbrs = self._kf_blocks(padded, cand_on)
+        idxs = np.concatenate([[kf], padded]).astype(np.int32)
+        self.kf_store.ensure(idxs, arena)
+        # free features only (triangulation creates new geometry)
+        cand = arena.kf_feat_valid[idxs] & (arena.kf_point_idx[idxs] < 0)
+        cand[1:] &= cand_on[:, None]
         min_baseline = (
             cfg.camera.baseline if cfg.sensor in ("stereo", "rgbd") else 0.01
         )
-        res = self._jit_triangulate(cur, nbrs, jnp.float32(min_baseline))
+        res = self._jit_triangulate(
+            self.kf_store.packs, self.kf_store.descs, jnp.asarray(idxs),
+            jnp.asarray(arena.kf_pose[idxs]), jnp.asarray(cand),
+            jnp.float32(min_baseline),
+        )
         return nbr_ids, res
 
     def tri_handles(self):
@@ -295,20 +300,20 @@ class LocalMapper:
         pmask[: len(pids)] = True
         padded = np.concatenate([nbr_ids, np.full(Nn - len(nbr_ids), nbr_ids[0])])
         cand_on = np.arange(Nn) < len(nbr_ids)
-        nbrs = self._kf_blocks(padded, cand_on, free_only=False)
+        idxs = padded.astype(np.int32)
+        self.kf_store.ensure(idxs, arena)
+        # ALL valid features (bound features become merge candidates)
+        cand = arena.kf_feat_valid[idxs] & cand_on[:, None]
         put = lambda a: jax.device_put(a, self.device)
-        res = mapping_ops.fuse_points_into_kfs(
+        res = self._jit_fuse(
+            self.kf_store.packs, self.kf_store.descs, jnp.asarray(idxs),
+            jnp.asarray(arena.kf_pose[idxs]), jnp.asarray(cand),
             put(arena.pt_pos[pids_pad]),
             put(arena.pt_desc[pids_pad]),
             put(arena.pt_normal[pids_pad]),
             put(arena.pt_min_dist[pids_pad]),
             put(arena.pt_max_dist[pids_pad]),
             put(pmask),
-            nbrs,
-            K=self.K,
-            num_levels=cfg.orb.num_levels,
-            scale_factor=cfg.orb.scale_factor,
-            image_wh=(cfg.camera.width, cfg.camera.height),
         )
         return nbr_ids, pids_pad, res
 

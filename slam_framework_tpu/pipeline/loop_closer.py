@@ -94,11 +94,16 @@ class LoopCloser:
         arena: MapArena,
         K: Intrinsics,
         vocab: Optional[bow_vocab.Vocabulary] = None,
+        kf_store=None,
     ):
         self.cfg = cfg
         self.arena = arena
         self.K = K
         self.vocab = vocab
+        # Device-resident keyframe feature store (pipeline/kf_store.py): BoW,
+        # descriptor matching and Sim3-guided programs gather kf features by
+        # INDEX instead of re-uploading ~130 KB of desc/xy per call
+        self.kf_store = kf_store
         self.db = KeyframeDatabase(vocab.num_words if vocab else 0)
         self.bow_frames: dict[int, BowFrame] = {}
         self.consistent_groups: List[Tuple[set, int]] = []
@@ -108,6 +113,7 @@ class LoopCloser:
         self.last_report: dict = {}
         self.cap_clips: dict = {}
         self._gba_pending = None   # in-flight async global BA (see apply_pending_gba)
+        self._bow_pending = None   # (kf, word_dev, weight_dev) awaiting harvest
         self._jit_gba = None
         self._jit_gba_shape = None
         self._key = jax.random.PRNGKey(7)
@@ -125,6 +131,29 @@ class LoopCloser:
         self._jit_match = jax.jit(self._match_descriptors)
         self._jit_guided = jax.jit(self._guided_projection_match)
         self._jit_sbs = jax.jit(self._search_by_sim3)
+        # Store-indexed variants: ship two int32 indices instead of the feature
+        # blocks (the store rows were written device-side at keyframe creation)
+        self._jit_match_store = jax.jit(
+            lambda descs, ic, il, mc, ml: self._match_descriptors(
+                descs[ic], mc, descs[il], ml
+            )
+        )
+        self._jit_guided_store = jax.jit(
+            lambda R, t, s, pts, pdesc, pmask, packs, descs, i, fvalid:
+            self._guided_projection_match(
+                R, t, s, pts, pdesc, pmask, packs[i, :, 0:2], descs[i], fvalid
+            )
+        )
+        self._jit_sbs_store = jax.jit(
+            lambda R, t, s, p_c, m_c, maxd_c, p_l, m_l, maxd_l, packs, descs, ic, il:
+            self._search_by_sim3(
+                R, t, s,
+                p_c, m_c, descs[ic], packs[ic, :, 0:2],
+                packs[ic, :, 4].astype(jnp.int32), maxd_c,
+                p_l, m_l, descs[il], packs[il, :, 0:2],
+                packs[il, :, 4].astype(jnp.int32), maxd_l,
+            )
+        )
         self._jit_refine = jax.jit(
             functools.partial(
                 sim3solver.refine_sim3, K=K, fix_scale=fix_scale,
@@ -136,6 +165,11 @@ class LoopCloser:
                     bow_vocab.transform,
                     depth=vocab.depth,
                     k=vocab.k,
+                )
+            )
+            self._jit_bow_store = jax.jit(
+                lambda tables, descs, i, valid: bow_vocab.transform(
+                    tables, descs[i], valid, depth=vocab.depth, k=vocab.k
                 )
             )
 
@@ -231,25 +265,61 @@ class LoopCloser:
     def compute_bow(self, kf: int) -> BowFrame:
         """DBoW2 transform of a keyframe's descriptors (keyframe.cpp:127-137)."""
         arena = self.arena
-        desc = jnp.asarray(arena.kf_desc[kf])
         valid = jnp.asarray(arena.kf_feat_valid[kf])
-        word, _, weight = self._jit_bow(self._tables, desc, valid)
+        if self.kf_store is not None:
+            self.kf_store.ensure([kf], arena)
+            word, _, weight = self._jit_bow_store(
+                self._tables, self.kf_store.descs, jnp.int32(kf), valid
+            )
+        else:
+            word, _, weight = self._jit_bow(
+                self._tables, jnp.asarray(arena.kf_desc[kf]), valid
+            )
         word, weight = jax.device_get([word, weight])
         return BowFrame(word, weight)
 
     # ------------------------------------------------------------------ main entry
 
-    def process_keyframe(self, kf: int) -> bool:
-        """DetectLoop + ComputeSim3 + CorrectLoop for one keyframe. Returns True if
-        a loop was closed (map poses/points were rewritten)."""
-        if self.vocab is None:
-            return False
-        bow = self.compute_bow(kf)
+    def has_pending_gba(self) -> bool:
+        return self._gba_pending is not None
+
+    def _dispatch_bow(self, kf: int) -> None:
+        """Async BoW transform dispatch — the device_get is deferred to the
+        NEXT keyframe (harvest), so the tracker's critical path never blocks on
+        the place-recognition RPC. The reference gets the same decoupling from
+        its LoopClosing thread's keyframe queue (loop_closer.cpp:61-85)."""
+        arena = self.arena
+        valid = jnp.asarray(arena.kf_feat_valid[kf])
+        if self.kf_store is not None:
+            self.kf_store.ensure([kf], arena)
+            word, _, weight = self._jit_bow_store(
+                self._tables, self.kf_store.descs, jnp.int32(kf), valid
+            )
+        else:
+            word, _, weight = self._jit_bow(
+                self._tables, jnp.asarray(arena.kf_desc[kf]), valid
+            )
+        self._bow_pending = (kf, word, weight)
+
+    def _harvest_bow(self):
+        if self._bow_pending is None:
+            return None
+        kf, word_d, weight_d = self._bow_pending
+        self._bow_pending = None
+        if not self.arena.kf_valid[kf]:
+            return None  # culled while in flight
+        word, weight = jax.device_get([word_d, weight_d])
+        bow = BowFrame(word, weight)
         self.bow_frames[kf] = bow
+        return kf, bow
+
+    def _detect_and_close(self, kf: int, bow: BowFrame, pre_close=None) -> bool:
         candidates = self._detect(kf, bow)
         self.db.add(kf, bow)
         if not candidates:
             return False
+        if pre_close is not None:
+            pre_close()
         cand = self._compute_sim3(kf, candidates)
         if cand is None:
             return False
@@ -257,6 +327,35 @@ class LoopCloser:
         self.n_loops_closed += 1
         self.last_loop_kf = kf
         return True
+
+    def process_keyframe(self, kf: int, pre_close=None) -> bool:
+        """One step of the loop-closing stage: harvest the PREVIOUS keyframe's
+        in-flight BoW and run detection/Sim3/correction for it, then dispatch
+        this keyframe's BoW. Detection therefore runs one keyframe late — the
+        same bounded lag as the reference's LoopClosing thread consuming its
+        keyframe queue (loop_closer.cpp:61-85, 194-297). Returns True if a
+        loop was closed (map poses/points were rewritten).
+
+        pre_close: called once, right before Sim3 computation, only when
+        detection produced consistent candidates — the caller uses it to drain
+        in-flight mapper work (Sim3/correction need settled poses; detection is
+        appearance-only and does not)."""
+        if self.vocab is None:
+            return False
+        closed = False
+        prev = self._harvest_bow()
+        if prev is not None:
+            closed = self._detect_and_close(prev[0], prev[1], pre_close=pre_close)
+        self._dispatch_bow(kf)
+        return closed
+
+    def flush(self, pre_close=None) -> bool:
+        """Drain the in-flight BoW (end of sequence / before exports): run the
+        deferred detection for the final keyframe."""
+        prev = self._harvest_bow()
+        if prev is None:
+            return False
+        return self._detect_and_close(prev[0], prev[1], pre_close=pre_close)
 
     # ------------------------------------------------------------------ detection
 
@@ -311,7 +410,7 @@ class LoopCloser:
         cfg = self.cfg
         sf2 = cfg.orb.scale_factor ** 2
 
-        desc_c = jnp.asarray(arena.kf_desc[kf])
+        desc_c = None if self.kf_store is not None else jnp.asarray(arena.kf_desc[kf])
         pid_c = arena.kf_point_idx[kf]
         mask_c_np = (pid_c >= 0) & arena.kf_feat_valid[kf]
         mask_c_np &= np.where(pid_c >= 0, arena.pt_valid[np.maximum(pid_c, 0)], False)
@@ -322,9 +421,17 @@ class LoopCloser:
             pid_l = arena.kf_point_idx[cand]
             mask_l_np = (pid_l >= 0) & arena.kf_feat_valid[cand]
             mask_l_np &= np.where(pid_l >= 0, arena.pt_valid[np.maximum(pid_l, 0)], False)
-            idx_dev, valid_dev = self._jit_match(
-                desc_c, mask_c, jnp.asarray(arena.kf_desc[cand]), jnp.asarray(mask_l_np)
-            )
+            if self.kf_store is not None:
+                self.kf_store.ensure([kf, cand], arena)
+                idx_dev, valid_dev = self._jit_match_store(
+                    self.kf_store.descs, jnp.int32(kf), jnp.int32(cand),
+                    mask_c, jnp.asarray(mask_l_np),
+                )
+            else:
+                idx_dev, valid_dev = self._jit_match(
+                    desc_c, mask_c, jnp.asarray(arena.kf_desc[cand]),
+                    jnp.asarray(mask_l_np),
+                )
             idx, valid = jax.device_get([idx_dev, valid_dev])
             rows = np.nonzero(valid)[0]
             if len(rows) < cfg.loop.sim3_min_inliers:
@@ -375,20 +482,34 @@ class LoopCloser:
             bow_of_c[rows] = cols
             bow_l = np.zeros(len(pid_l), bool)
             bow_l[cols] = True  # vbAlreadyMatched2 (orb_matcher.cpp:1118-1124)
-            sbs = jax.device_get(self._jit_sbs(
-                jnp.asarray(np.float32(R)), jnp.asarray(np.float32(t)),
-                jnp.asarray(np.float32(s)),
-                jnp.asarray(pc_cam.astype(np.float32)),
-                jnp.asarray(mask_c_np & (bow_of_c < 0)),
-                desc_c, jnp.asarray(arena.kf_xy[kf]),
-                jnp.asarray(arena.kf_octave[kf].astype(np.int32)),
-                jnp.asarray(maxd_c.astype(np.float32)),
-                jnp.asarray(pl_cam.astype(np.float32)),
-                jnp.asarray(mask_l_np & ~bow_l),
-                jnp.asarray(arena.kf_desc[cand]), jnp.asarray(arena.kf_xy[cand]),
-                jnp.asarray(arena.kf_octave[cand].astype(np.int32)),
-                jnp.asarray(maxd_l.astype(np.float32)),
-            ))
+            if self.kf_store is not None:
+                sbs = jax.device_get(self._jit_sbs_store(
+                    jnp.asarray(np.float32(R)), jnp.asarray(np.float32(t)),
+                    jnp.asarray(np.float32(s)),
+                    jnp.asarray(pc_cam.astype(np.float32)),
+                    jnp.asarray(mask_c_np & (bow_of_c < 0)),
+                    jnp.asarray(maxd_c.astype(np.float32)),
+                    jnp.asarray(pl_cam.astype(np.float32)),
+                    jnp.asarray(mask_l_np & ~bow_l),
+                    jnp.asarray(maxd_l.astype(np.float32)),
+                    self.kf_store.packs, self.kf_store.descs,
+                    jnp.int32(kf), jnp.int32(cand),
+                ))
+            else:
+                sbs = jax.device_get(self._jit_sbs(
+                    jnp.asarray(np.float32(R)), jnp.asarray(np.float32(t)),
+                    jnp.asarray(np.float32(s)),
+                    jnp.asarray(pc_cam.astype(np.float32)),
+                    jnp.asarray(mask_c_np & (bow_of_c < 0)),
+                    desc_c, jnp.asarray(arena.kf_xy[kf]),
+                    jnp.asarray(arena.kf_octave[kf].astype(np.int32)),
+                    jnp.asarray(maxd_c.astype(np.float32)),
+                    jnp.asarray(pl_cam.astype(np.float32)),
+                    jnp.asarray(mask_l_np & ~bow_l),
+                    jnp.asarray(arena.kf_desc[cand]), jnp.asarray(arena.kf_xy[cand]),
+                    jnp.asarray(arena.kf_octave[cand].astype(np.int32)),
+                    jnp.asarray(maxd_l.astype(np.float32)),
+                ))
             pair_of_c = np.where(bow_of_c >= 0, bow_of_c, sbs)
             rows_w = np.nonzero(pair_of_c >= 0)[0]
             cols_w = pair_of_c[rows_w]
@@ -462,13 +583,23 @@ class LoopCloser:
     def _count_guided_matches(self, kf: int, S_cw, pts, desc) -> int:
         arena = self.arena
         mask = jnp.asarray(np.any(pts != 0, axis=1))
-        idx_dev, valid_dev = self._jit_guided(
-            jnp.asarray(np.float32(S_cw["R"])), jnp.asarray(np.float32(S_cw["t"])),
-            jnp.asarray(np.float32(S_cw["s"])),
-            jnp.asarray(pts), jnp.asarray(desc), mask,
-            jnp.asarray(arena.kf_xy[kf]), jnp.asarray(arena.kf_desc[kf]),
-            jnp.asarray(arena.kf_feat_valid[kf]),
-        )
+        if self.kf_store is not None:
+            self.kf_store.ensure([kf], arena)
+            idx_dev, valid_dev = self._jit_guided_store(
+                jnp.asarray(np.float32(S_cw["R"])), jnp.asarray(np.float32(S_cw["t"])),
+                jnp.asarray(np.float32(S_cw["s"])),
+                jnp.asarray(pts), jnp.asarray(desc), mask,
+                self.kf_store.packs, self.kf_store.descs, jnp.int32(kf),
+                jnp.asarray(arena.kf_feat_valid[kf]),
+            )
+        else:
+            idx_dev, valid_dev = self._jit_guided(
+                jnp.asarray(np.float32(S_cw["R"])), jnp.asarray(np.float32(S_cw["t"])),
+                jnp.asarray(np.float32(S_cw["s"])),
+                jnp.asarray(pts), jnp.asarray(desc), mask,
+                jnp.asarray(arena.kf_xy[kf]), jnp.asarray(arena.kf_desc[kf]),
+                jnp.asarray(arena.kf_feat_valid[kf]),
+            )
         return int(jax.device_get(valid_dev).sum())
 
     # ------------------------------------------------------------------ correction
@@ -539,13 +670,23 @@ class LoopCloser:
         n_fused = 0
         for i in group:
             S_iw = corrected[i]
-            idx_dev, valid_dev = self._jit_guided(
-                jnp.asarray(np.float32(S_iw["R"])), jnp.asarray(np.float32(S_iw["t"])),
-                jnp.asarray(np.float32(S_iw["s"])),
-                jnp.asarray(loop_pts), jnp.asarray(loop_desc), mask,
-                jnp.asarray(arena.kf_xy[i]), jnp.asarray(arena.kf_desc[i]),
-                jnp.asarray(arena.kf_feat_valid[i]),
-            )
+            if self.kf_store is not None:
+                self.kf_store.ensure([i], arena)
+                idx_dev, valid_dev = self._jit_guided_store(
+                    jnp.asarray(np.float32(S_iw["R"])), jnp.asarray(np.float32(S_iw["t"])),
+                    jnp.asarray(np.float32(S_iw["s"])),
+                    jnp.asarray(loop_pts), jnp.asarray(loop_desc), mask,
+                    self.kf_store.packs, self.kf_store.descs, jnp.int32(i),
+                    jnp.asarray(arena.kf_feat_valid[i]),
+                )
+            else:
+                idx_dev, valid_dev = self._jit_guided(
+                    jnp.asarray(np.float32(S_iw["R"])), jnp.asarray(np.float32(S_iw["t"])),
+                    jnp.asarray(np.float32(S_iw["s"])),
+                    jnp.asarray(loop_pts), jnp.asarray(loop_desc), mask,
+                    jnp.asarray(arena.kf_xy[i]), jnp.asarray(arena.kf_desc[i]),
+                    jnp.asarray(arena.kf_feat_valid[i]),
+                )
             idx, valid = jax.device_get([idx_dev, valid_dev])
             for p_slot in np.nonzero(valid)[0]:
                 loop_pid = int(loop_ids[p_slot])

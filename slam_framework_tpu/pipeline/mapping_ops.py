@@ -39,6 +39,26 @@ class KFBlock(NamedTuple):
     cand: jnp.ndarray    # (..., N) bool — valid feature, not yet associated
 
 
+def block_from_store(packs, descs, idxs, poses, cand) -> KFBlock:
+    """Assemble (stacked) KFBlocks by gathering keyframe rows from the
+    device-resident store (pipeline/kf_store.py) INSIDE the consuming program —
+    the dispatch ships only indices, poses, and candidate masks.
+
+    packs: (K, N, 9) f32 store; descs: (K, N, 8) u32; idxs: (Nn,) int32;
+    poses: (Nn, 4, 4); cand: (Nn, N) bool."""
+    rows = jnp.take(packs, idxs, axis=0)        # (Nn, N, 9)
+    desc = jnp.take(descs, idxs, axis=0)        # (Nn, N, 8)
+    return KFBlock(
+        pose=poses,
+        xy=rows[..., 0:2],
+        ur=rows[..., 2],
+        octave=rows[..., 4].astype(jnp.int32),
+        angle=rows[..., 5],
+        desc=desc,
+        cand=cand,
+    )
+
+
 class TriangulationResult(NamedTuple):
     idx: jnp.ndarray     # (Nn, N) int32 — neighbor feature matched to cur feature i
     pts: jnp.ndarray     # (Nn, N, 3) world points

@@ -99,6 +99,12 @@ class StereoTracker:
         # keyframe decision / local-block refresh (bounded-staleness design,
         # module docstring). Depth 1 = the round-1 fully-serial behavior.
         self.pipeline_depth = max(1, pipeline_depth)
+        # Keyframe budget per drained chunk scales with chunk length so the
+        # keyframe CADENCE is set in frames (the reference's rule,
+        # tracker.cpp:1224-1306), not chunks — a budget of 1 at sync_every=8
+        # silently halved the map density (A/B: ATE 0.57 vs 0.37 on the
+        # 160-frame bench workload).
+        self.max_kfs_per_chunk = max(self.MAX_KFS_PER_CHUNK, round(self.sync_every / 4))
         self.ref_kf = -1
         self.ref_kf_tracked = 0
         self.last_kf_frame_id = -1
@@ -445,13 +451,13 @@ class StereoTracker:
             tri_data, rest = rest[: len(tri_handles)], rest[len(tri_handles):]
         fuse_data = rest if fuse_handles is not None else None
         return (fids, tss, summaries, vis, found, packs, descs, block_ids,
-                ba_data, tri_data, fuse_data)
+                ba_data, tri_data, fuse_data, packs_dev, descs_dev)
 
     def _process(self, raw) -> None:
         """Host-side bookkeeping for one fetched chunk: records, lost detection,
         keyframe decision/creation, visible/found accrual, mapper result landing."""
         (fids, tss, summaries, vis, found, packs, descs, block_ids,
-         ba_data, tri_data, fuse_data) = raw
+         ba_data, tri_data, fuse_data, packs_dev, descs_dev) = raw
         made_kf = 0
         # per-frame visible/found accrual (map_point.cpp:234-247) against the
         # block layout the chunk was DISPATCHED with
@@ -490,13 +496,14 @@ class StereoTracker:
                                  visible=int(s[21]), motion_inliers=int(s[22]),
                                  close_tracked=int(s[18]), close_new=int(s[19]))
                 if (
-                    made_kf < self.MAX_KFS_PER_CHUNK
+                    made_kf < self.max_kfs_per_chunk
                     and not self.localization_only
                     and self._need_new_keyframe(fid, s)
                 ):
                     self._create_keyframe(
                         fid, ts, pose, packs[j], descs[j], block_ids,
                         ba_data=ba_data, tri_data=tri_data, fuse_data=fuse_data,
+                        pack_dev=packs_dev[j], desc_dev=descs_dev[j],
                     )
                     ba_data = tri_data = fuse_data = None  # consumed
                     rec.ref_kf = self.ref_kf
@@ -687,7 +694,8 @@ class StereoTracker:
         return int((arena.pt_valid[pids] & (arena.pt_obs_count[pids] >= min_obs)).sum())
 
     def _create_keyframe(self, fid, ts, pose, pack, desc, block_ids=None,
-                         ba_data=None, tri_data=None, fuse_data=None) -> int:
+                         ba_data=None, tri_data=None, fuse_data=None,
+                         pack_dev=None, desc_dev=None) -> int:
         """CreateNewKeyFrame (tracker.cpp:1311-1379) for a (lag-synced) frame.
 
         pack/desc are HOST arrays (fetched by _drain's consolidated RPC), as are
@@ -703,6 +711,8 @@ class StereoTracker:
         if block_ids is None:
             block_ids = self._block_ids
         if isinstance(pack, jnp.ndarray):
+            if pack_dev is None:
+                pack_dev, desc_dev = pack, desc  # already device-resident
             pack, desc = jax.device_get([pack, desc])  # direct callers (reloc/mono)
         xy = pack[:, 0:2]
         u_right = pack[:, 2]
@@ -722,6 +732,10 @@ class StereoTracker:
             pose, fid, ts, xy, u_right, depth, octave, angle, desc, valid,
             point_ids.copy(),
         )
+        if pack_dev is not None:
+            # device-to-device copy of the chunk's feature block into the
+            # keyframe store — the mapper/loop programs gather it by index
+            self.local_mapper.kf_store.set_from_device(kf, pack_dev, desc_dev)
         # New points from stereo depth, the reference's rule (tracker.cpp:1340-1373):
         # every unassociated CLOSE feature (depth < threshold) becomes a point, and
         # if that yields < 100 the nearest far ones pad up to 100. Far single-view

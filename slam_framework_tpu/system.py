@@ -93,9 +93,7 @@ class SlamSystem:
         """Drain pending device work; return run statistics (Shutdown :226-247)."""
         if self.publisher is not None:
             self.publisher.stop()
-        self.tracker.flush()
-        if self.loop_closer is not None:
-            self.loop_closer.apply_pending_gba()
+        self._settle()
         return {
             "frames": len(self.tracker.records),
             "keyframes": self.arena.n_valid_kfs,
@@ -189,7 +187,10 @@ class SlamSystem:
 
         cam = self.cfg.camera
         K = Intrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
-        self.loop_closer = LoopCloser(self.cfg, self.arena, K, self.vocab)
+        self.loop_closer = LoopCloser(
+            self.cfg, self.arena, K, self.vocab,
+            kf_store=self.tracker.local_mapper.kf_store,
+        )
 
         def _forget(k: int) -> None:
             self.loop_closer.db.erase(k)
@@ -214,16 +215,26 @@ class SlamSystem:
                 bow = self.loop_closer.compute_bow(k)
                 self.loop_closer.bow_frames[k] = bow
                 self.loop_closer.db.add(k, bow)
-        # 2. merge an async global BA from a PREVIOUS loop closure, then run loop
-        # detection/correction for this keyframe (both need settled poses)
-        self.tracker.local_mapper.finalize()
-        pre = self.arena.kf_pose[kf].copy()
-        if self.loop_closer.apply_pending_gba():
-            self._apply_world_correction(pre, self.arena.kf_pose[kf])
+        # 2. merge an async global BA from a PREVIOUS loop closure (needs settled
+        # poses — finalize only when one is actually in flight), then run loop
+        # detection for this keyframe. Detection is appearance-only; the full
+        # mapper drain is deferred to the moment a consistent candidate forces a
+        # Sim3/correction (pre_close hook). Draining EVERY keyframe serialized
+        # the async BA/triangulation pipeline into the tracker's critical path.
+        if self.loop_closer.has_pending_gba():
+            self.tracker.local_mapper.finalize()
             pre = self.arena.kf_pose[kf].copy()
-        closed = self.loop_closer.process_keyframe(kf)
+            if self.loop_closer.apply_pending_gba():
+                self._apply_world_correction(pre, self.arena.kf_pose[kf])
+        pre_box = {}
+
+        def _pre_close():
+            self.tracker.local_mapper.finalize()
+            pre_box["pose"] = self.arena.kf_pose[kf].copy()
+
+        closed = self.loop_closer.process_keyframe(kf, pre_close=_pre_close)
         if closed:
-            self._apply_world_correction(pre, self.arena.kf_pose[kf])
+            self._apply_world_correction(pre_box["pose"], self.arena.kf_pose[kf])
 
     def _train_vocabulary(self) -> None:
         """Online vocabulary: k=10 depth=4 (10k words) with IDF weights refitted
@@ -319,7 +330,29 @@ class SlamSystem:
 
     def _settle(self) -> None:
         """Drain ALL in-flight device work (tracker chunks, mapper BA/tri/fuse,
-        async global BA) so exported state is final."""
+        deferred loop detection, async global BA) so exported state is final."""
         self.tracker.flush()
         if self.loop_closer is not None:
+            self._finish_loop_stage()
             self.loop_closer.apply_pending_gba()
+
+    def _finish_loop_stage(self) -> bool:
+        """Run the deferred (one-keyframe-late) loop detection for the last
+        keyframe and apply the world correction if it closes."""
+        if self.loop_closer is None:
+            return False
+        arena = self.arena
+        valid = np.nonzero(arena.kf_valid[: arena.num_kfs])[0]
+        if len(valid) == 0:
+            return bool(self.loop_closer.flush())
+        anchor = int(valid[-1])
+        pre_box = {}
+
+        def _pre_close():
+            self.tracker.local_mapper.finalize()
+            pre_box["pose"] = arena.kf_pose[anchor].copy()
+
+        closed = self.loop_closer.flush(pre_close=_pre_close)
+        if closed:
+            self._apply_world_correction(pre_box["pose"], arena.kf_pose[anchor])
+        return closed

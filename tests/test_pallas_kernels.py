@@ -119,3 +119,26 @@ def test_projection_best_match_depth_gate():
         jnp.ones(N), **common)
     assert (np.asarray(ok) >= 0).sum() == N
     assert (np.asarray(bad) >= 0).sum() == 0
+
+
+def test_patch_gather_windows_matches_slices():
+    """ops/patch_pallas.gather_windows (interpret mode on CPU) == edge-padded
+    window slices — the contract ops/orient.py and ops/brief.py rely on
+    (reference: the patch loops of IC_Angle / computeOrbDescriptor,
+    src/orb_features/orb_extractor.cpp:18-88)."""
+    from slam_framework_tpu.ops import patch_pallas
+
+    rng = np.random.default_rng(3)
+    H, W = 72, 300
+    img_np = rng.standard_normal((H, W)).astype(np.float32)
+    img = jnp.asarray(img_np)
+    xy_np = np.stack([rng.integers(0, W, 96), rng.integers(0, H, 96)], 1).astype(np.int32)
+    xy = jnp.asarray(xy_np)
+    for side, half in [(40, 19), (32, 15)]:
+        w = np.asarray(patch_pallas.gather_windows(img, xy, side, half, interpret=True))
+        ref_img = np.pad(img_np, side, mode="edge")
+        for i, (x, y) in enumerate(xy_np):
+            r0, c0 = y + side - half, x + side - half
+            np.testing.assert_array_equal(
+                w[i], ref_img[r0 : r0 + side, c0 : c0 + side]
+            )
