@@ -56,6 +56,11 @@ class KeyframeDatabase:
         self.frames: Dict[int, BowFrame] = {}
 
     def add(self, kf: int, bow: BowFrame) -> None:
+        if kf in self.frames:
+            # idempotent: a re-add would duplicate the inverted-index entries,
+            # and a later erase would remove only one copy — the stale copy
+            # then dangles into frames-lookups after culling
+            return
         self.frames[kf] = bow
         for w in bow.words:
             self.index.setdefault(int(w), []).append(kf)

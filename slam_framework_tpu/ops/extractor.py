@@ -106,9 +106,18 @@ class OrbExtractor:
             score_lo = jnp.where(strength > float(cfg.min_thresh_fast), strength, 0.0)
             sel = select.select_uniform(score_hi, score_lo, n_lvl, cell=cfg.fast_cell_size)
 
-            angles = orient.ic_angles(lvl_img, sel.xy)
+            # ONE window gather feeds both orientation (raw level, channel 0)
+            # and BRIEF (blurred level, channel 1): per-slice latency dominates
+            # the gather, so stacking channels halves the front-end's largest
+            # device cost (ops/brief.fused_windows)
             blur_lvl = blurred[lvl] if blurred is not None else pyramid.gaussian_blur(lvl_img)
-            desc = brief.brief_descriptors(blur_lvl, sel.xy, angles)
+            wins = brief.fused_windows(lvl_img, blur_lvl, sel.xy)
+            angles = orient.ic_angles_from_windows(
+                wins[..., 0], brief.MAX_ROTATED_OFFSET - orient.HALF_PATCH
+            )
+            desc = brief.descriptors_from_windows(
+                wins[..., 1].reshape(wins.shape[0], -1), angles
+            )
 
             scale = float(self.scales[lvl])
             xy0 = sel.xy.astype(jnp.float32) * scale

@@ -64,6 +64,30 @@ def gather_patches(img: jnp.ndarray, xy: jnp.ndarray, patch: int, pad: int) -> j
     return jax.vmap(one)(xy)
 
 
+@functools.lru_cache(maxsize=2)
+def _disk_masks_embedded(side: int, off: int):
+    """(side, side) weight maps with the 31x31 disk embedded at row/col `off`
+    (for consumers that share one window gather with BRIEF — the disk offsets
+    -15..15 sit at window indices off..off+30)."""
+    xw, yw = _disk_masks()
+    out_x = np.zeros((side, side), np.float32)
+    out_y = np.zeros((side, side), np.float32)
+    out_x[off : off + PATCH, off : off + PATCH] = xw
+    out_y[off : off + PATCH, off : off + PATCH] = yw
+    return out_x, out_y
+
+
+def ic_angles_from_windows(wins: jnp.ndarray, off: int) -> jnp.ndarray:
+    """Orientation from pre-gathered (N, side, side) windows whose row/col 0
+    is keypoint offset -(15 + off) — shares the BRIEF window gather instead of
+    issuing a second per-keypoint gather (measured: the two separate gathers
+    cost 9.5 ms/image; one fused gather 5.2 ms)."""
+    xw, yw = _disk_masks_embedded(wins.shape[-1], off)
+    m10 = jnp.sum(wins * xw[None], axis=(1, 2))
+    m01 = jnp.sum(wins * yw[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
 @functools.lru_cache(maxsize=1)
 def _disk_masks32():
     """(32, 32) weight maps: the 31x31 disk zero-extended one row/col (the

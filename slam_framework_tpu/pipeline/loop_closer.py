@@ -138,6 +138,11 @@ class LoopCloser:
                 descs[ic], mc, descs[il], ml
             )
         )
+        self._jit_match_store_batch = jax.jit(
+            lambda descs, ic, ils, mc, mls: jax.vmap(
+                lambda il, ml: self._match_descriptors(descs[ic], mc, descs[il], ml)
+            )(ils, mls)
+        )
         self._jit_guided_store = jax.jit(
             lambda R, t, s, pts, pdesc, pmask, packs, descs, i, fvalid:
             self._guided_projection_match(
@@ -417,22 +422,45 @@ class LoopCloser:
         mask_c = jnp.asarray(mask_c_np)
         T_cw = arena.kf_pose[kf].astype(np.float64)
 
+        # Descriptor matching for ALL candidates in one batched program + one
+        # fetch (the common bench case is several BoW-plausible candidates that
+        # all die here; per-candidate dispatch+fetch paid the tunnel RPC
+        # latency C times over)
+        cand_masks = {}
         for cand in candidates:
             pid_l = arena.kf_point_idx[cand]
-            mask_l_np = (pid_l >= 0) & arena.kf_feat_valid[cand]
-            mask_l_np &= np.where(pid_l >= 0, arena.pt_valid[np.maximum(pid_l, 0)], False)
-            if self.kf_store is not None:
+            m = (pid_l >= 0) & arena.kf_feat_valid[cand]
+            m &= np.where(pid_l >= 0, arena.pt_valid[np.maximum(pid_l, 0)], False)
+            cand_masks[cand] = m
+        if self.kf_store is not None and len(candidates) > 1:
+            self.kf_store.ensure([kf] + list(candidates), arena)
+            ils = jnp.asarray(np.asarray(candidates, np.int32))
+            mls = jnp.asarray(np.stack([cand_masks[c] for c in candidates]))
+            idx_b, valid_b = jax.device_get(self._jit_match_store_batch(
+                self.kf_store.descs, jnp.int32(kf), ils, mask_c, mls
+            ))
+            match_of = {c: (idx_b[i], valid_b[i]) for i, c in enumerate(candidates)}
+        else:
+            match_of = None
+
+        for cand in candidates:
+            mask_l_np = cand_masks[cand]
+            pid_l = arena.kf_point_idx[cand]
+            if match_of is not None:
+                idx, valid = match_of[cand]
+            elif self.kf_store is not None:
                 self.kf_store.ensure([kf, cand], arena)
                 idx_dev, valid_dev = self._jit_match_store(
                     self.kf_store.descs, jnp.int32(kf), jnp.int32(cand),
                     mask_c, jnp.asarray(mask_l_np),
                 )
+                idx, valid = jax.device_get([idx_dev, valid_dev])
             else:
                 idx_dev, valid_dev = self._jit_match(
                     desc_c, mask_c, jnp.asarray(arena.kf_desc[cand]),
                     jnp.asarray(mask_l_np),
                 )
-            idx, valid = jax.device_get([idx_dev, valid_dev])
+                idx, valid = jax.device_get([idx_dev, valid_dev])
             rows = np.nonzero(valid)[0]
             if len(rows) < cfg.loop.sim3_min_inliers:
                 continue

@@ -126,6 +126,13 @@ class StereoTracker:
         self._pending_remap = None    # block ids awaiting device-state remap
         self._jit_chunk = jax.jit(self._chunk)
         self._jit_remap = jax.jit(self._remap_program)
+        self._jit_unpack_block = jax.jit(
+            lambda packed, desc: track_ops.PointBlock(
+                pos=packed[:, 0:3], desc=desc, normal=packed[:, 3:6],
+                min_dist=packed[:, 6], max_dist=packed[:, 7],
+                mask=packed[:, 8] > 0.5,
+            )
+        )
 
     def _current_sync(self) -> int:
         """Frames per device dispatch; subclasses shorten it while the map is
@@ -866,24 +873,20 @@ class StereoTracker:
         ids = np.full(P, -1, np.int32)
         ids[: len(pid_set)] = pid_set
         sl = slice(0, len(pid_set))
-        pos = np.zeros((P, 3), np.float32)
-        pos[sl] = arena.pt_pos[pid_set]
+        # ONE packed f32 upload + one u32 upload instead of six separate
+        # device_puts (each upload pays the dev tunnel's per-RPC latency); a
+        # tiny jitted unpack slices the fields apart on device
+        packed = np.zeros((P, 9), np.float32)
+        packed[sl, 0:3] = arena.pt_pos[pid_set]
+        packed[sl, 3:6] = arena.pt_normal[pid_set]
+        packed[sl, 6] = arena.pt_min_dist[pid_set]
+        packed[sl, 7] = arena.pt_max_dist[pid_set]
+        packed[sl, 8] = 1.0
         desc = np.zeros((P, 8), np.uint32)
         desc[sl] = arena.pt_desc[pid_set]
-        normal = np.zeros((P, 3), np.float32)
-        normal[sl] = arena.pt_normal[pid_set]
-        mind = np.zeros(P, np.float32)
-        mind[sl] = arena.pt_min_dist[pid_set]
-        maxd = np.zeros(P, np.float32)
-        maxd[sl] = arena.pt_max_dist[pid_set]
-        mask = np.zeros(P, bool)
-        mask[sl] = True
-        self._block = track_ops.PointBlock(
-            pos=jnp.asarray(pos), desc=jnp.asarray(desc), normal=jnp.asarray(normal),
-            min_dist=jnp.asarray(mind), max_dist=jnp.asarray(maxd), mask=jnp.asarray(mask),
-        )
+        self._block = self._jit_unpack_block(jnp.asarray(packed), jnp.asarray(desc))
         self._block_ids = ids
-        self._block_pos_host = pos  # host mirror — keeps remap free of device fetches
+        self._block_pos_host = packed[:, 0:3]  # host mirror — remap stays fetch-free
 
     def _ids_to_slots(self, point_ids: np.ndarray) -> np.ndarray:
         lookup = np.full(self.arena.num_pts + 1, -1, np.int32)

@@ -207,9 +207,13 @@ class SlamSystem:
             self._train_vocabulary()
         if self.loop_closer is None:
             return
-        # catch up the BoW database (covers backfill after online training)
+        # catch up the BoW database (covers backfill after online training);
+        # skip the keyframe whose BoW transform is still IN FLIGHT on device
+        # (the deferred harvest will register it next step)
+        pending = self.loop_closer._bow_pending
+        pending_kf = pending[0] if pending is not None else None
         for k in range(self.arena.num_kfs):
-            if k == kf:
+            if k == kf or k == pending_kf:
                 continue
             if self.arena.kf_valid[k] and k not in self.loop_closer.bow_frames:
                 bow = self.loop_closer.compute_bow(k)
