@@ -47,12 +47,21 @@ def shard_problem(prob: PoseGraphProblem, n_shards: int) -> PoseGraphProblem:
         out[(ranks % D) * per + ranks // D] = src[live]
         return out
 
+    # pad slots carry IDENTITY rotations (the convention the loop closer's own
+    # padded edge tables use) — a zero 3x3 is not a rotation and sim3.log of it
+    # is only accidentally finite; masked or not, keep pads on the manifold
+    e_R_pad = deal(np.asarray(prob.e_R), 0.0)
+    ranks = np.arange(len(live))
+    filled = np.zeros(E_s, bool)
+    filled[(ranks % D) * per + ranks // D] = True
+    e_R_pad[~filled] = np.eye(3, dtype=e_R_pad.dtype)
+
     return PoseGraphProblem(
         v_R=prob.v_R, v_t=prob.v_t, v_s=prob.v_s,
         v_fixed=prob.v_fixed, v_mask=prob.v_mask,
         e_i=jnp.asarray(deal(np.asarray(prob.e_i), 0)),
         e_j=jnp.asarray(deal(np.asarray(prob.e_j), 0)),
-        e_R=jnp.asarray(deal(np.asarray(prob.e_R), 0.0)),
+        e_R=jnp.asarray(e_R_pad),
         e_t=jnp.asarray(deal(np.asarray(prob.e_t), 0.0)),
         e_s=jnp.asarray(deal(np.asarray(prob.e_s), 1.0)),
         e_mask=jnp.asarray(deal(e_mask, False)),

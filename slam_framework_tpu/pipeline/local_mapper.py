@@ -90,13 +90,9 @@ class LocalMapper:
         # silent-cap visibility (VERDICT r2 Weak #6): count + log every time a
         # fixed-capacity window truncates what the reference would have kept
         self.cap_clips: dict = {}
-        # In-flight device work, QUEUED (append at dispatch, drained together):
-        # with several keyframes per chunk, single-slot pendings forced the
-        # second keyframe to block on the first's device round (measured 60-85
-        # ms per keyframe of pure fetch stall)
-        self._ba_pending: list = []    # dicts (see _local_ba)
-        self._tri_pending: list = []   # (kf, nbr_ids, device result)
-        self._fuse_pending: list = []  # (nbr_ids, pids_pad, device result)
+        self._ba_pending = None
+        self._tri_pending = None  # (kf, (nbr_ids, device result)) awaiting apply
+        self._fuse_pending = None  # (nbr_ids, pids_pad, device result) awaiting apply
 
     def note_new_points(self, pids, kf: int) -> None:
         self.recent_points.extend((int(p), kf) for p in np.atleast_1d(pids))
@@ -122,31 +118,19 @@ class LocalMapper:
         tracking (measured)."""
         lazy = self.cfg.sensor != "monocular"
         with self.timers.time("mapper/writeback"):
-            if not lazy:
-                # mono: synchronous map growth (staleness loses tracking)
-                self.apply_pending_fuse(prefetched=prefetched_fuse)
+            self.apply_pending_fuse(prefetched=prefetched_fuse)
+            if self.cfg.mapping.triangulate_new_points and lazy:
                 self.apply_pending_triangulation(prefetched=prefetched_tri)
-                self.flush_ba(prefetched=prefetched_ba)
-            else:
-                # apply ONLY what the chunk drain already fetched; without
-                # prefetched data the queue simply carries to the next drain —
-                # never block the keyframe path on a device round-trip
-                if prefetched_fuse is not None:
-                    self.apply_pending_fuse(prefetched=prefetched_fuse)
-                if prefetched_tri is not None:
-                    self.apply_pending_triangulation(prefetched=prefetched_tri)
-                if prefetched_ba is not None:
-                    self.flush_ba(prefetched=prefetched_ba)
+            self.flush_ba(prefetched=prefetched_ba)
         with self.timers.time("mapper/cull_points"):
             self._cull_points(kf)
         if self.cfg.mapping.triangulate_new_points:
             with self.timers.time("mapper/triangulate"):
                 pending = self._dispatch_triangulation(kf)
-                if pending is not None:
-                    if lazy:
-                        self._tri_pending.append((kf, pending[0], pending[1]))
-                    else:
-                        self._apply_triangulation(kf, *pending)
+                if lazy:
+                    self._tri_pending = (kf, pending)
+                elif pending is not None:
+                    self._apply_triangulation(kf, *pending)
         with self.timers.time("mapper/ba_dispatch"):
             self._local_ba(kf)
         if self.cfg.mapping.cull_keyframes:
@@ -194,28 +178,24 @@ class LocalMapper:
         return nbr_ids, res
 
     def tri_handles(self):
-        """Device arrays of ALL queued triangulation results (4 per entry), or
-        None — the tracker folds these into its per-chunk drain fetch."""
-        if not self._tri_pending:
+        """Device arrays of the in-flight triangulation result, or None — the
+        tracker folds these into its per-chunk drain fetch (see ba_handles)."""
+        if self._tri_pending is None:
             return None
-        out = []
-        for (_kf, _nbr, res) in self._tri_pending:
-            out += [res.ni, res.nf, res.pts, res.valid]
-        return out
+        _, (_, res) = self._tri_pending
+        return [res.ni, res.nf, res.pts, res.valid]
 
     def apply_pending_triangulation(self, prefetched=None) -> None:
-        """Insert the queued (async) triangulation results into the map, in
-        dispatch order. With prefetched host arrays (4 per queue entry) this is
-        free of device round-trips."""
+        """Insert the previous keyframe's (async) triangulation result into the
+        map. With prefetched host arrays this is free of device round-trips."""
         pending = self._tri_pending
-        if not pending:
+        if pending is None:
             return
-        self._tri_pending = []
-        for j, (kf, nbr_ids, res) in enumerate(pending):
-            if not self.arena.kf_valid[kf]:
-                continue  # keyframe culled while the result was in flight
-            pre = prefetched[4 * j : 4 * j + 4] if prefetched is not None else None
-            self._apply_triangulation(kf, nbr_ids, res, prefetched=pre)
+        self._tri_pending = None
+        kf, (nbr_ids, res) = pending
+        if not self.arena.kf_valid[kf]:
+            return  # keyframe culled while the triangulation was in flight
+        self._apply_triangulation(kf, nbr_ids, res, prefetched=prefetched)
 
     def _apply_triangulation(self, kf: int, nbr_ids, res, prefetched=None) -> None:
         """Second half of CreateNewMapPoints: fetch the (compacted) device result
@@ -279,7 +259,7 @@ class LocalMapper:
             pending = self._dispatch_fuse(kf)
             if pending is not None:
                 if self.cfg.sensor != "monocular":
-                    self._fuse_pending.append(pending)
+                    self._fuse_pending = pending
                 else:
                     self._apply_fuse(*pending)
 
@@ -338,20 +318,19 @@ class LocalMapper:
         return nbr_ids, pids_pad, res
 
     def fuse_handles(self):
-        """Device arrays of ALL queued fuse results (1 per entry), or None — the
-        tracker folds these into its per-chunk drain fetch (see ba_handles)."""
-        if not self._fuse_pending:
+        """Device arrays of the in-flight fuse result, or None — the tracker folds
+        these into its per-chunk drain fetch (see ba_handles)."""
+        if getattr(self, "_fuse_pending", None) is None:
             return None
-        return [res for (_n, _p, res) in self._fuse_pending]
+        return [self._fuse_pending[2]]
 
     def apply_pending_fuse(self, prefetched=None) -> None:
-        pending = self._fuse_pending
-        if not pending:
+        pending = getattr(self, "_fuse_pending", None)
+        if pending is None:
             return
-        self._fuse_pending = []
-        for j, (nbr_ids, pids_pad, res) in enumerate(pending):
-            pre = prefetched[j : j + 1] if prefetched is not None else None
-            self._apply_fuse(nbr_ids, pids_pad, res, prefetched=pre)
+        self._fuse_pending = None
+        nbr_ids, pids_pad, res = pending
+        self._apply_fuse(nbr_ids, pids_pad, res, prefetched=prefetched)
 
     def _apply_fuse(self, nbr_ids, pids_pad, res, prefetched=None) -> None:
         """Host write-back: add-observation on a free neighbor feature, or merge on
@@ -586,37 +565,28 @@ class LocalMapper:
             pt_obs_slots=put(pt_slots),
         )
         res = self._jit_ba(prob)  # ASYNC dispatch — results land at flush_ba()
-        self._ba_pending.append({
+        self._ba_pending = {
             "res": res, "cams": cams, "cam_fixed": cam_fixed, "pid_set": pid_set,
             "obs_mask": obs_mask, "m": m, "pi_flat": pi_flat,
             "kf_flat": kf_flat, "ft_flat": ft_flat,
-        })
+        }
 
     def ba_handles(self):
-        """Device arrays of ALL queued BA results (4 per entry), or None —
-        callers can fold these into an existing device_get to save blocking
-        round-trips, then pass the fetched values to flush_ba(prefetched=...)."""
-        if not self._ba_pending:
+        """Device arrays of the in-flight BA result, or None — callers can fold
+        these into an existing device_get to save one blocking round-trip, then
+        pass the fetched values to flush_ba(prefetched=...)."""
+        if getattr(self, "_ba_pending", None) is None:
             return None
-        out = []
-        for p in self._ba_pending:
-            res = p["res"]
-            out += [res.cam_pose, res.pt_pos, res.obs_inlier, res.total_chi2]
-        return out
+        res = self._ba_pending["res"]
+        return [res.cam_pose, res.pt_pos, res.obs_inlier, res.total_chi2]
 
     def flush_ba(self, prefetched=None) -> None:
-        """Fetch + write back ALL queued local BAs in dispatch order. Must run
-        before any consumer that needs settled poses/points (loop closer,
-        export)."""
-        queue = self._ba_pending
-        if not queue:
+        """Fetch + write back the in-flight local BA (if any). Must run before any
+        consumer that needs settled poses/points (loop closer, export, next BA)."""
+        pending = getattr(self, "_ba_pending", None)
+        if pending is None:
             return
-        self._ba_pending = []
-        for j, pending in enumerate(queue):
-            pre = prefetched[4 * j : 4 * j + 4] if prefetched is not None else None
-            self._flush_one_ba(pending, pre)
-
-    def _flush_one_ba(self, pending, prefetched=None) -> None:
+        self._ba_pending = None
         arena = self.arena
         res = pending["res"]
         cams, cam_fixed = pending["cams"], pending["cam_fixed"]

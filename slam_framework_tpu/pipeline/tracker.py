@@ -525,6 +525,12 @@ class StereoTracker:
             # result now (it only enters the tracking block at the next
             # rebuild, but culling/stats see the points immediately)
             self.local_mapper.apply_pending_triangulation(prefetched=tri_data)
+        if ba_data is not None:
+            # no keyframe this chunk: flush the in-flight local BA anyway so
+            # its refinement lands as soon as it was fetched (never let a
+            # settled result sit stale across chunks; local_mapper.cpp:27-87
+            # applies each BA before taking the next keyframe)
+            self.local_mapper.flush_ba(prefetched=ba_data)
         if self.state == TrackingState.LOST:
             # drop buffered/pending work — it descends from the lost state
             for (ids, tss2, *_rest) in self._pending:

@@ -45,6 +45,27 @@ class TestDistPoseGraph:
         tr1 = _pose_errors(res.v_R, res.v_t, res.v_s, gt).max()
         assert tr1 < 0.2 * tr0
 
+    def test_matches_single_device_nondivisible(self, cpu_mesh_devices):
+        """Live edge count NOT divisible by n_shards -> masked pad slots exist.
+        Pads must carry identity rotations and must not fork the GN trajectory
+        (the accept test tolerates reduction-shape rounding)."""
+        mesh7 = Mesh(np.array(cpu_mesh_devices[:7]), ("pg",))
+        prob, gt, _ = _build_problem(24, drift_rot=0.02, drift_trans=0.08,
+                                     drift_scale=0.01, seed=3)
+        res_single = pose_graph.optimize(prob, iters=12, cg_iters=50)
+        sharded = dist_pose_graph.shard_problem(prob, 7)
+        assert sharded.e_i.shape[0] > int(np.asarray(prob.e_mask).sum())  # pads exist
+        # pad slots are identity rotations, not zero matrices
+        live = np.asarray(sharded.e_mask)
+        pads = np.asarray(sharded.e_R)[~live]
+        assert np.allclose(pads, np.eye(3), atol=0)
+        res_dist = dist_pose_graph.optimize_sharded(sharded, mesh7, iters=12,
+                                                    cg_iters=50)
+        t1, t2 = jax.device_get([res_single.v_t, res_dist.v_t])
+        r1, r2 = jax.device_get([res_single.v_R, res_dist.v_R])
+        assert np.allclose(t1, t2, atol=5e-3)
+        assert np.allclose(r1, r2, atol=1e-3)
+
     def test_shard_partition_covers_all_edges(self):
         prob, _, _ = _build_problem(16, seed=1)
         sharded = dist_pose_graph.shard_problem(prob, 8)
