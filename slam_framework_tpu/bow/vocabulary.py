@@ -252,6 +252,57 @@ def save_orbvoc_text(vocab: Vocabulary, path: str) -> None:
         f.writelines(lines)
 
 
+def save_npz(vocab: Vocabulary, path: str) -> None:
+    """Compact compressed vocabulary asset (the shipped-artifact format; the
+    reference ships a ~1M-leaf ORBvoc.txt blob, TemplatedVocabulary.h:1335-1418 —
+    text round-trip stays available via save/load_orbvoc_text for parity, but a
+    100k-word tree is ~12 MB of text vs ~2 MB npz). Children are rebuilt from
+    the parent array on load, preserving child-slot order."""
+    parent = np.full(vocab.num_nodes, -1, np.int64)
+    for n in range(vocab.num_nodes):
+        for ch in vocab.node_children[n]:
+            if ch >= 0:
+                parent[ch] = n
+    np.savez_compressed(
+        path,
+        k=np.int64(vocab.k), depth=np.int64(vocab.depth),
+        levelsup=np.int64(vocab.levelsup),
+        node_desc=vocab.node_desc, node_parent=parent,
+        node_weight=vocab.node_weight, node_word=vocab.node_word,
+    )
+
+
+def load_npz(path: str) -> Vocabulary:
+    z = np.load(path)
+    k = int(z["k"])
+    parent = z["node_parent"]
+    num_nodes = len(parent)
+    node_children = np.full((num_nodes, k), -1, np.int32)
+    slot = np.zeros(num_nodes, np.int32)
+    # children were saved in node-id order == insertion order, so refilling
+    # sequentially restores the original child-slot assignment
+    for ch in range(num_nodes):
+        p = parent[ch]
+        if p >= 0:
+            node_children[p, slot[p]] = ch
+            slot[p] += 1
+    return Vocabulary(
+        k=k, depth=int(z["depth"]),
+        node_desc=z["node_desc"].astype(np.uint32),
+        node_children=node_children,
+        node_weight=z["node_weight"].astype(np.float32),
+        node_word=z["node_word"].astype(np.int32),
+        levelsup=int(z["levelsup"]),
+    )
+
+
+def load(path: str) -> Vocabulary:
+    """Extension-dispatched loader: .npz asset or reference ORBvoc .txt."""
+    if str(path).endswith(".npz"):
+        return load_npz(path)
+    return load_orbvoc_text(path)
+
+
 def load_orbvoc_text(path: str) -> Vocabulary:
     """Load the reference's ORBvoc.txt format (TemplatedVocabulary.h:1335-1418)."""
     with open(path) as f:

@@ -36,13 +36,46 @@ from slam_framework_tpu.optim.global_ba import GlobalBAProblem, GlobalBAResult, 
 from slam_framework_tpu.parallel import multihost
 
 
-def shard_problem(prob: GlobalBAProblem, n_shards: int) -> GlobalBAProblem:
+def point_layout(n_live: int, n_shards: int, owner=None):
+    """Shard layout of live points: returns (s_of, lp_of, P_s) — shard id and
+    local slot per live-point rank, and the (pow2) per-shard capacity.
+
+    owner=None: round-robin deal (rank r -> shard r % D, slot r // D).
+    owner=(n_live,) int array: OWNER-KEYED deal (map-block sharding — each point
+    lands on the shard owning its covisibility segment, parallel/map_shard.py);
+    slots are assigned in rank order within each shard."""
+    D = n_shards
+    ranks = np.arange(n_live, dtype=np.int64)
+    if owner is None:
+        s_of = ranks % D
+        lp_of = ranks // D
+        P_s = _next_pow2(max(int(np.ceil(n_live / D)) if n_live else 1, 1))
+    else:
+        s_of = np.asarray(owner, np.int64)
+        # cumcount within each shard, in rank order
+        order = np.argsort(s_of, kind="stable")
+        so = s_of[order]
+        new = np.r_[True, so[1:] != so[:-1]] if n_live else np.zeros(0, bool)
+        idx = np.arange(n_live, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0)) if n_live else idx
+        lp_sorted = idx - start
+        lp_of = np.empty(n_live, np.int64)
+        lp_of[order] = lp_sorted
+        counts = np.bincount(s_of, minlength=D) if n_live else np.zeros(D, np.int64)
+        P_s = _next_pow2(max(int(counts.max()) if n_live else 1, 1))
+    return s_of, lp_of, P_s
+
+
+def shard_problem(prob: GlobalBAProblem, n_shards: int,
+                  owner: Optional[np.ndarray] = None) -> GlobalBAProblem:
     """Repartition a (host-built) problem into n_shards device blocks.
 
-    Points are dealt round-robin to shards (balances obs counts for maps whose
-    density varies along the trajectory); each point carries its observations.
-    Output arrays are the concatenation of equal-size shard blocks, ready to be
-    device_put with a ('ba',)-sharded NamedSharding on axis 0.
+    By default points are dealt round-robin to shards (balances obs counts for
+    maps whose density varies along the trajectory); pass `owner` (per-LIVE-
+    point shard ids, rank order) for map-block sharding keyed by covisibility
+    segment. Each point carries its observations. Output arrays are the
+    concatenation of equal-size shard blocks, ready to be device_put with a
+    ('ba',)-sharded NamedSharding on axis 0.
     """
     pt_mask = np.asarray(prob.pt_mask)
     obs_mask = np.asarray(prob.obs_mask)
@@ -54,25 +87,23 @@ def shard_problem(prob: GlobalBAProblem, n_shards: int) -> GlobalBAProblem:
 
     # Fully vectorized repartition (the per-observation Python loop cost minutes
     # of host time at the 100k-landmark stress config). Point at live-rank r is
-    # owned by shard r % D at local index r // D; its observations keep their
-    # slot order and are laid out point-major within the shard.
+    # owned by shard s_of[r] at local index lp_of[r]; its observations keep
+    # their slot order and are laid out point-major within the shard.
     pids = np.nonzero(pt_mask)[0]
     Np = len(pids)
     ranks = np.arange(Np, dtype=np.int64)
-    s_of = ranks % D
-    lp_of = ranks // D
-    P_s = _next_pow2(max(int(np.ceil(Np / D)) if Np else 1, 1))
+    s_of, lp_of, P_s = point_layout(Np, D, owner)
 
     slots = pt_slots[pids]                                   # (Np, O)
     valid = (slots >= 0) & obs_mask[np.maximum(slots, 0)]
     flat_sel = valid.reshape(-1)
     e_rank = np.broadcast_to(ranks[:, None], (Np, O)).reshape(-1)[flat_sel]
     e_o = slots.reshape(-1)[flat_sel]                        # source obs index
-    e_s = e_rank % D
+    e_s = s_of[e_rank]
     # stable sort by shard keeps (point-rank, slot) order within each shard
     order = np.argsort(e_s, kind="stable")
     e_rank, e_o, e_s = e_rank[order], e_o[order], e_s[order]
-    e_lp = e_rank // D
+    e_lp = lp_of[e_rank]
     shard_counts = np.bincount(e_s, minlength=D)
     M_s = _next_pow2(max(int(shard_counts.max()) if len(e_s) else 1, 1))
     starts = np.concatenate([[0], np.cumsum(shard_counts)[:-1]])
@@ -210,11 +241,11 @@ def run_global_ba_dist(arena, cfg, K: Intrinsics, mesh: Mesh,
     cams_arr = np.asarray(cams, np.int64)
     free = ~np.asarray(fixed)[: len(cams_arr)]
     arena.kf_pose[cams_arr[free]] = np.asarray(new_cam)[: len(cams_arr)][free]
-    # un-shard point positions: shard order is round-robin over `pids`
+    # un-shard point positions: round-robin layout over `pids`
     P_s = new_pt.shape[0] // n
-    r = np.arange(len(pids), dtype=np.int64)
+    s_of, lp_of, _ = point_layout(len(pids), n)
     arena.pt_pos[np.asarray(pids, np.int64)] = np.asarray(new_pt)[
-        (r % n) * P_s + r // n
+        s_of * P_s + lp_of
     ]
     return {
         "cams": len(cams),

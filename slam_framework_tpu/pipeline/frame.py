@@ -18,6 +18,7 @@ from slam_framework_tpu.config import SlamConfig
 from slam_framework_tpu.geometry import projection
 from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.ops import pyramid, stereo_match
+from slam_framework_tpu.utils import progcache
 from slam_framework_tpu.ops.extractor import Features, OrbExtractor
 
 
@@ -58,7 +59,10 @@ class StereoFrontend:
             cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy, cfg.camera.bf
         )
         self.extractor = OrbExtractor(cfg.orb, max_features=cfg.capacity.max_features)
-        self._jit = jax.jit(self._process)
+        self._jit = progcache.shared_jit(
+            ("StereoFrontend", progcache.config_fingerprint(cfg)),
+            lambda: jax.jit(self._process),
+        )
 
     def __call__(self, left: jnp.ndarray, right: jnp.ndarray) -> FrameData:
         return self._jit(left, right)
@@ -108,7 +112,10 @@ class RgbdFrontend:
             cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy, cfg.camera.bf
         )
         self.extractor = OrbExtractor(cfg.orb, max_features=cfg.capacity.max_features)
-        self._jit = jax.jit(self._process)
+        self._jit = progcache.shared_jit(
+            ("RgbdFrontend", progcache.config_fingerprint(cfg)),
+            lambda: jax.jit(self._process),
+        )
 
     def __call__(self, gray: jnp.ndarray, depth: jnp.ndarray) -> FrameData:
         return self._jit(gray, depth)
@@ -153,7 +160,10 @@ class MonoFrontend:
             cfg.orb, num_features=cfg.orb.num_features * feature_multiplier
         )
         self.extractor = OrbExtractor(orb, max_features=cfg.capacity.max_features * feature_multiplier)
-        self._jit = jax.jit(self._process)
+        self._jit = progcache.shared_jit(
+            ("MonoFrontend", progcache.config_fingerprint(cfg), feature_multiplier),
+            lambda: jax.jit(self._process),
+        )
 
     def __call__(self, img: jnp.ndarray) -> FrameData:
         return self._jit(img)

@@ -50,7 +50,12 @@ class DeviceKFStore:
             )
 
         # donate: the store is the only reference; update in place on device
-        self._jit_set = jax.jit(_set, donate_argnums=(0, 1))
+        from slam_framework_tpu.utils import progcache
+
+        self._jit_set = progcache.shared_jit(
+            ("DeviceKFStore", max_keyframes, max_features, str(device)),
+            lambda: jax.jit(_set, donate_argnums=(0, 1)),
+        )
 
     def set_from_device(self, k: int, pack, desc) -> None:
         """Write keyframe k's block from device-resident chunk outputs

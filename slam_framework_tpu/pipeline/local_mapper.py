@@ -27,6 +27,7 @@ from slam_framework_tpu.geometry.projection import Intrinsics
 from slam_framework_tpu.map.arena import MapArena
 from slam_framework_tpu.optim import local_ba
 from slam_framework_tpu.pipeline import kf_store, mapping_ops
+from slam_framework_tpu.utils import progcache
 from slam_framework_tpu.utils.observability import StageTimers
 
 
@@ -44,13 +45,17 @@ class LocalMapper:
         self.device = devs[min(cfg.mapping.device_index, len(devs) - 1)]
         self.recent_points: list[tuple[int, int]] = []  # (pid, created_at_kf)
         self.on_erase_keyframe = None  # hook: notify place-recognition database
-        self._jit_ba = jax.jit(
-            functools.partial(
-                local_ba.optimize,
-                K=K,
-                iters_first=cfg.mapping.local_ba_iters_first,
-                iters_second=cfg.mapping.local_ba_iters_second,
-            )
+        fp = ("LocalMapper", progcache.config_fingerprint(cfg))
+        self._jit_ba = progcache.shared_jit(
+            fp + ("ba",),
+            lambda: jax.jit(
+                functools.partial(
+                    local_ba.optimize,
+                    K=K,
+                    iters_first=cfg.mapping.local_ba_iters_first,
+                    iters_second=cfg.mapping.local_ba_iters_second,
+                )
+            ),
         )
         # Device-resident keyframe feature store: triangulation/fuse dispatches
         # ship indices + poses + masks; the blocks are gathered in-program from
@@ -71,7 +76,9 @@ class LocalMapper:
                 )
             )
 
-        self._jit_triangulate = jax.jit(_triangulate)
+        self._jit_triangulate = progcache.shared_jit(
+            fp + ("triangulate",), lambda: jax.jit(_triangulate)
+        )
 
         def _fuse(packs, descs, idxs, poses, cand,
                   pt_pos, pt_desc, pt_normal, pt_min_d, pt_max_d, pt_mask):
@@ -83,7 +90,9 @@ class LocalMapper:
                 image_wh=(cfg.camera.width, cfg.camera.height),
             )
 
-        self._jit_fuse = jax.jit(_fuse)
+        self._jit_fuse = progcache.shared_jit(
+            fp + ("fuse",), lambda: jax.jit(_fuse)
+        )
         self.last_ba_stats: dict = {}
         self.last_triangulation: dict = {}
         self.last_fuse: dict = {}

@@ -32,6 +32,7 @@ from slam_framework_tpu.matching import hamming, matcher
 from slam_framework_tpu.optim import pose_graph
 from slam_framework_tpu.pipeline import track_ops
 from slam_framework_tpu.solvers import sim3solver
+from slam_framework_tpu.utils import progcache
 from slam_framework_tpu.utils.precision import einsum as _einsum
 
 
@@ -115,41 +116,46 @@ class LoopCloser:
         self._gba_pending = None   # in-flight async global BA (see apply_pending_gba)
         self._bow_pending = None   # (kf, word_dev, weight_dev) awaiting harvest
         self._jit_gba = None
-        self._jit_gba_shape = None
         self._key = jax.random.PRNGKey(7)
         self._tables = vocab.device_tables() if vocab else None
 
         fix_scale = cfg.sensor in ("stereo", "rgbd")
-        self._jit_sim3 = jax.jit(
+        # shared across same-config instances (utils/progcache.py; see tracker)
+        fp = ("LoopCloser", progcache.config_fingerprint(cfg),
+              vocab.num_words if vocab else 0)
+        _sj = progcache.shared_jit
+        self._jit_sim3 = _sj(fp + ("sim3",), lambda: jax.jit(
             functools.partial(
                 sim3solver.solve_sim3_ransac,
                 K=K,
                 fix_scale=fix_scale,
                 min_inliers=cfg.loop.sim3_min_inliers,
             )
-        )
-        self._jit_match = jax.jit(self._match_descriptors)
-        self._jit_guided = jax.jit(self._guided_projection_match)
-        self._jit_sbs = jax.jit(self._search_by_sim3)
+        ))
+        self._jit_match = _sj(fp + ("match",),
+                              lambda: jax.jit(self._match_descriptors))
+        self._jit_guided = _sj(fp + ("guided",),
+                               lambda: jax.jit(self._guided_projection_match))
+        self._jit_sbs = _sj(fp + ("sbs",), lambda: jax.jit(self._search_by_sim3))
         # Store-indexed variants: ship two int32 indices instead of the feature
         # blocks (the store rows were written device-side at keyframe creation)
-        self._jit_match_store = jax.jit(
+        self._jit_match_store = _sj(fp + ("match_store",), lambda: jax.jit(
             lambda descs, ic, il, mc, ml: self._match_descriptors(
                 descs[ic], mc, descs[il], ml
             )
-        )
-        self._jit_match_store_batch = jax.jit(
+        ))
+        self._jit_match_store_batch = _sj(fp + ("match_store_batch",), lambda: jax.jit(
             lambda descs, ic, ils, mc, mls: jax.vmap(
                 lambda il, ml: self._match_descriptors(descs[ic], mc, descs[il], ml)
             )(ils, mls)
-        )
-        self._jit_guided_store = jax.jit(
+        ))
+        self._jit_guided_store = _sj(fp + ("guided_store",), lambda: jax.jit(
             lambda R, t, s, pts, pdesc, pmask, packs, descs, i, fvalid:
             self._guided_projection_match(
                 R, t, s, pts, pdesc, pmask, packs[i, :, 0:2], descs[i], fvalid
             )
-        )
-        self._jit_sbs_store = jax.jit(
+        ))
+        self._jit_sbs_store = _sj(fp + ("sbs_store",), lambda: jax.jit(
             lambda R, t, s, p_c, m_c, maxd_c, p_l, m_l, maxd_l, packs, descs, ic, il:
             self._search_by_sim3(
                 R, t, s,
@@ -158,25 +164,25 @@ class LoopCloser:
                 p_l, m_l, descs[il], packs[il, :, 0:2],
                 packs[il, :, 4].astype(jnp.int32), maxd_l,
             )
-        )
-        self._jit_refine = jax.jit(
+        ))
+        self._jit_refine = _sj(fp + ("refine",), lambda: jax.jit(
             functools.partial(
                 sim3solver.refine_sim3, K=K, fix_scale=fix_scale,
             )
-        )
+        ))
         if vocab:
-            self._jit_bow = jax.jit(
+            self._jit_bow = _sj(fp + ("bow",), lambda: jax.jit(
                 functools.partial(
                     bow_vocab.transform,
                     depth=vocab.depth,
                     k=vocab.k,
                 )
-            )
-            self._jit_bow_store = jax.jit(
+            ))
+            self._jit_bow_store = _sj(fp + ("bow_store",), lambda: jax.jit(
                 lambda tables, descs, i, valid: bow_vocab.transform(
                     tables, descs[i], valid, depth=vocab.depth, k=vocab.k
                 )
-            )
+            ))
 
     # ------------------------------------------------------------------ device programs
 
@@ -434,10 +440,18 @@ class LoopCloser:
             cand_masks[cand] = m
         if self.kf_store is not None and len(candidates) > 1:
             self.kf_store.ensure([kf] + list(candidates), arena)
-            ils = jnp.asarray(np.asarray(candidates, np.int32))
-            mls = jnp.asarray(np.stack([cand_masks[c] for c in candidates]))
+            # pad the candidate lane to a FIXED width so one compiled program
+            # covers every candidate count (a (C,)-shaped program per count
+            # cost a fresh tunnel compile each; pads carry all-False masks)
+            C_pad = 8 * int(np.ceil(len(candidates) / 8))
+            ids_pad = np.zeros(C_pad, np.int32)
+            ids_pad[: len(candidates)] = np.asarray(candidates, np.int32)
+            mls_np = np.zeros((C_pad,) + cand_masks[candidates[0]].shape, bool)
+            for i, c in enumerate(candidates):
+                mls_np[i] = cand_masks[c]
             idx_b, valid_b = jax.device_get(self._jit_match_store_batch(
-                self.kf_store.descs, jnp.int32(kf), ils, mask_c, mls
+                self.kf_store.descs, jnp.int32(kf), jnp.asarray(ids_pad),
+                mask_c, jnp.asarray(mls_np)
             ))
             match_of = {c: (idx_b[i], valid_b[i]) for i, c in enumerate(candidates)}
         else:
@@ -772,21 +786,17 @@ class LoopCloser:
 
         arena = self.arena
         prob, cams, pids = global_ba.build_global_problem(arena, self.cfg)
-        if self._jit_gba is None or self._jit_gba_shape != (
-            prob.cam_pose.shape, prob.pt_pos.shape, prob.obs_cam.shape
-        ):
-            import functools
-
-            self._jit_gba = jax.jit(
-                functools.partial(
-                    global_ba.optimize_global,
-                    K=self.K,
-                    iters_first=0,
-                    iters_second=self.cfg.loop.global_ba_iters,
-                )
-            )
-            self._jit_gba_shape = (
-                prob.cam_pose.shape, prob.pt_pos.shape, prob.obs_cam.shape
+        if self._jit_gba is None:
+            self._jit_gba = progcache.shared_jit(
+                ("LoopCloser", progcache.config_fingerprint(self.cfg), "gba"),
+                lambda: jax.jit(
+                    functools.partial(
+                        global_ba.optimize_global,
+                        K=self.K,
+                        iters_first=0,
+                        iters_second=self.cfg.loop.global_ba_iters,
+                    )
+                ),
             )
         res = self._jit_gba(prob)
         self._gba_pending = {

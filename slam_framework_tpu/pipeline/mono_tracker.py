@@ -27,6 +27,7 @@ from slam_framework_tpu.config import SlamConfig
 from slam_framework_tpu.map.arena import MapArena
 from slam_framework_tpu.matching import hamming, matcher
 from slam_framework_tpu.pipeline.frame import MonoFrontend
+from slam_framework_tpu.utils import progcache
 from slam_framework_tpu.pipeline.tracker import (
     DeviceTrackState,
     FrameRecord,
@@ -68,9 +69,15 @@ class MonoTracker(StereoTracker):
         # budget can't provide on sparse scenes. Only this separate init-path
         # extractor is doubled; the chunk program keeps its fixed 1x shapes.
         self._init_frontend = MonoFrontend(cfg, feature_multiplier=2)
-        self._jit_init_match = jax.jit(self._init_match)
-        self._jit_two_view = jax.jit(
-            functools.partial(initializer.initialize_two_view, K=self.K)
+        fpm = ("MonoTracker", progcache.config_fingerprint(cfg))
+        self._jit_init_match = progcache.shared_jit(
+            fpm + ("init_match",), lambda: jax.jit(self._init_match)
+        )
+        self._jit_two_view = progcache.shared_jit(
+            fpm + ("two_view",),
+            lambda: jax.jit(
+                functools.partial(initializer.initialize_two_view, K=self.K)
+            ),
         )
 
     # StereoTracker.__init__ picks the frontend by sensor:

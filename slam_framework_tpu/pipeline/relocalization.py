@@ -27,6 +27,7 @@ from slam_framework_tpu.map.arena import MapArena
 from slam_framework_tpu.matching import hamming, matcher
 from slam_framework_tpu.optim import pose_opt
 from slam_framework_tpu.solvers import pnp
+from slam_framework_tpu.utils import progcache
 from slam_framework_tpu.utils.precision import einsum as _einsum
 
 
@@ -70,18 +71,33 @@ class Relocalizer:
         self.arena = arena
         self.K = K
         self.place_rec = place_rec
+        import os
+
+        self._debug = bool(os.environ.get("SLAM_RELOC_DEBUG"))
         self._key = jax.random.PRNGKey(11)
-        self._jit_pnp = jax.jit(
+        fp = ("Relocalizer", progcache.config_fingerprint(cfg))
+        _sj = progcache.shared_jit
+        self._jit_pnp = _sj(fp + ("pnp",), lambda: jax.jit(
             functools.partial(pnp.solve_pnp_ransac, K=K, min_inliers=10)
-        )
-        self._jit_pose_opt = jax.jit(functools.partial(pose_opt.optimize_pose, K=K))
-        self._jit_guided = jax.jit(
+        ))
+        # min_inliers=6: the RANSAC result only SEEDS the pose — the motion-only
+        # BA + the >= 50-inlier accept bar (tracker.cpp:977) do the real
+        # arbitration, so a strict consensus gate here only costs recoveries
+        # (measured: 7-inlier Horn seeds relocalize correctly after a blackout)
+        self._jit_pnp3d = _sj(fp + ("pnp3d",), lambda: jax.jit(
+            functools.partial(pnp.solve_pnp3d_ransac, K=K, min_inliers=6)
+        ))
+        self._jit_pose_opt = _sj(fp + ("pose_opt",), lambda: jax.jit(
+            functools.partial(pose_opt.optimize_pose, K=K)
+        ))
+        self._jit_guided = _sj(fp + ("guided",), lambda: jax.jit(
             functools.partial(
                 _guided_match, K=K, width=cfg.camera.width, height=cfg.camera.height,
                 window=10.0, max_dist=100,
             )
-        )
-        self._jit_bow_match = jax.jit(self._bow_match)
+        ))
+        self._jit_bow_match = _sj(fp + ("bow_match",),
+                                  lambda: jax.jit(self._bow_match))
         self._inv_sf2 = 1.0 / (
             cfg.orb.scale_factor ** (2.0 * np.arange(cfg.orb.num_levels))
         )
@@ -124,11 +140,15 @@ class Relocalizer:
             ),
         )
         if not candidates:
+            if self._debug:
+                print("[reloc] no BoW candidates")
             return None
         # best BoW score first (the reference round-robins; scores order the tries)
         candidates = sorted(
             candidates, key=lambda c: -bow.score(pr.db.frames[c])
         )[:5]
+        if self._debug:
+            print(f"[reloc] candidates={candidates}")
 
         desc_f = jnp.asarray(fd_host["desc"])
         valid_f = jnp.asarray(fd_host["valid"])
@@ -143,6 +163,8 @@ class Relocalizer:
             )
             rows = np.nonzero(valid)[0]
             if len(rows) < self.MIN_BOW_MATCHES:
+                if self._debug:
+                    print(f"[reloc] cand {cand}: only {len(rows)} BoW matches")
                 continue
             pids = pid_c[idx[rows]]
 
@@ -158,13 +180,39 @@ class Relocalizer:
             ]
             mask[:n] = True
 
+            # stereo/RGB-D path: back-project frame keypoints through their
+            # stereo depth and solve 3D-3D Horn RANSAC — planar-safe where the
+            # 2D DLT resection degenerates on corridor geometry (pnp.py:
+            # solve_pnp3d_ransac docstring). Mono frames (no u_right) fall
+            # through to the 2D solver.
+            ur_rows = fd_host["u_right"][rows]
+            disp = uv[:n, 0] - ur_rows
+            has_d = (ur_rows > 0) & (disp > 0.1)
             self._key, sub = jax.random.split(self._key)
-            res = self._jit_pnp(
-                jnp.asarray(pts_w), jnp.asarray(uv), jnp.asarray(inv_s2),
-                jnp.asarray(mask), key=sub,
-            )
+            if int(has_d.sum()) >= 10:
+                bf = self.K.bf
+                z = np.where(has_d, bf / np.maximum(disp, 0.1), 0.0)
+                pts_c = np.zeros((N, 3), np.float32)
+                pts_c[:n, 0] = (uv[:n, 0] - self.K.cx) * z / self.K.fx
+                pts_c[:n, 1] = (uv[:n, 1] - self.K.cy) * z / self.K.fy
+                pts_c[:n, 2] = z
+                mask3 = np.zeros(N, bool)
+                mask3[:n] = has_d
+                res = self._jit_pnp3d(
+                    jnp.asarray(pts_w), jnp.asarray(pts_c), jnp.asarray(uv),
+                    jnp.asarray(inv_s2), jnp.asarray(mask3), key=sub,
+                )
+            else:
+                res = self._jit_pnp(
+                    jnp.asarray(pts_w), jnp.asarray(uv), jnp.asarray(inv_s2),
+                    jnp.asarray(mask), key=sub,
+                )
             ok = bool(jax.device_get(res.ok))
             if not ok:
+                if self._debug:
+                    print(f"[reloc] cand {cand}: {len(rows)} matches "
+                          f"({int(has_d.sum())} w/depth), PnP failed "
+                          f"n_inl={int(jax.device_get(res.n_inliers))}")
                 continue
 
             # Motion-only BA over the FULL match set (stereo rows where available),
@@ -185,6 +233,9 @@ class Relocalizer:
             pose, inliers, n_inl = jax.device_get(
                 [opt.pose, opt.inliers, opt.num_inliers]
             )
+            if self._debug:
+                print(f"[reloc] cand {cand}: {len(rows)} matches, pose-opt "
+                      f"inliers {int(n_inl)} (accept >= {self.MIN_ACCEPT})")
             if int(n_inl) >= self.MIN_ACCEPT:
                 keep = inliers[:n]
                 return RelocResult(
@@ -194,12 +245,19 @@ class Relocalizer:
                     point_ids=pids[keep].astype(np.int32),
                     n_inliers=int(n_inl),
                 )
-            if int(n_inl) < self.MIN_RETRY:
-                continue
-            # Guided-projection retry (tracker.cpp:930-975): the BoW match set was
-            # too small, but the pose hypothesis holds — project the candidate's
-            # local map through it and re-optimize over the widened match set.
-            got = self._guided_retry(cand, np.asarray(pose, np.float32), fd_host)
+            # Guided-projection retry (tracker.cpp:930-975): the BoW match set
+            # was too small, but a pose hypothesis holds — project the
+            # candidate's local map through it and re-optimize over the widened
+            # match set. When the motion-only BA itself diverged (a majority-
+            # outlier BoW set drags it off before chi2 can reclassify), retry
+            # from the RANSAC pose instead — the widened projection-gated set
+            # is what rescues it, and the >= 50-inlier bar still arbitrates.
+            if int(n_inl) >= self.MIN_RETRY:
+                got = self._guided_retry(cand, np.asarray(pose, np.float32), fd_host)
+            else:
+                got = self._guided_retry(
+                    cand, np.asarray(jax.device_get(res.pose), np.float32), fd_host
+                )
             if got is not None:
                 return got
         return None

@@ -30,6 +30,16 @@ from slam_framework_tpu.pipeline.relocalization import Relocalizer
 from slam_framework_tpu.pipeline.tracker import StereoTracker, TrackingState
 
 
+def _shipped_vocabulary() -> Optional[str]:
+    """Path of the bundled offline vocabulary asset, if present (the analogue of
+    the reference's required ORBvoc.txt, slam_system.cpp:8-30 — stripped from its
+    repo; ours is trained on a synthetic corpus by tools/train_vocab.py)."""
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "assets", "orbvoc_synth.npz")
+    return p if os.path.exists(p) else None
+
+
 class SlamSystem:
     """User-facing engine. One instance per camera stream."""
 
@@ -49,10 +59,11 @@ class SlamSystem:
         self.cfg = cfg
         self.sync_every = sync_every
         self.vocab: Optional[bow_vocab.Vocabulary] = None
-        if cfg.vocabulary_path:
+        vocab_path = cfg.vocabulary_path or _shipped_vocabulary()
+        if vocab_path:
             try:
-                self.vocab = bow_vocab.load_orbvoc_text(cfg.vocabulary_path)
-            except (OSError, ValueError):
+                self.vocab = bow_vocab.load(vocab_path)
+            except (OSError, ValueError, KeyError):
                 self.vocab = None  # fall back to online training
         self.n_resets = 0
         self._build()
@@ -159,10 +170,13 @@ class SlamSystem:
         return pose
 
     def _maybe_reset(self) -> None:
+        # the reference resets on a young-map loss UNCONDITIONALLY — even with
+        # a relocalizer available (tracker.cpp:613-620: KeyFramesInMap()<=5);
+        # an earlier `relocalizer is None` guard here broke that parity once
+        # the shipped vocabulary made the relocalizer active from frame 0
         if (
             self.tracker.state == TrackingState.LOST
             and self.arena.n_valid_kfs <= self.RESET_IF_LOST_BELOW_KFS
-            and self.tracker.relocalizer is None
         ):
             self.reset()
 

@@ -32,3 +32,7 @@ def test_two_process_dist_ba_and_pose_graph_match_single_device():
     assert res["ok"], res
     assert res["ba_cam_max_err_m"] < 1e-3
     assert res["pg_vt_max_err_m"] < 1e-3
+    # map-block sharding (SURVEY §5.8): segment-owned BA parity + the
+    # cross-process all_to_all point migration (verified inside each worker)
+    assert res["segba_cam_max_err_m"] < 1e-3
+    assert res["migrate_ok"]

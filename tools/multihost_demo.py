@@ -146,6 +146,40 @@ def run_worker(args) -> int:
     cam_mh = multihost.replicated_get(res.cam_pose)
     chi2_mh = float(multihost.replicated_get(res.total_chi2))
 
+    # --- map-block sharded BA: owner-keyed (covisibility-segment) deal over
+    # the SAME process-spanning mesh (parallel/map_shard.py, SURVEY §5.8) ---
+    from slam_framework_tpu.parallel import map_shard
+
+    n_live = int(np.asarray(prob.pt_mask).sum())
+    owner = (np.arange(n_live) * n_total) // n_live  # contiguous segment blocks
+    sharded_seg = dist_ba.shard_problem(prob, n_total, owner=owner)
+    res_seg = dist_ba.optimize_global_sharded(
+        sharded_seg, mesh, K, iters_first=2, iters_second=3, cg_iters=25
+    )
+    cam_seg = multihost.replicated_get(res_seg.cam_pose)
+
+    # --- cross-process point migration (ONE all_to_all over the mesh) ---
+    rngm = np.random.default_rng(5)
+    R, F = 16, 4
+    rows = rngm.normal(size=(n_total * R, F)).astype(np.float32)
+    rmask = rngm.random(n_total * R) < 0.6
+    new_owner = rngm.integers(0, n_total, n_total * R).astype(np.int32)
+    # capacity covers the worst destination load (overflow is exercised by
+    # tests/test_map_shard.py; here we verify exact delivery)
+    assert np.bincount(new_owner[rmask], minlength=n_total).max() <= R
+    out_rows, out_mask = map_shard.migrate_points(mesh, rows, rmask, new_owner)
+    # every process verifies ITS OWN destination blocks (rows/mask/new_owner are
+    # identical host arrays on all processes); any mismatch fails the worker
+    local_blocks = [i for i, d in enumerate(mesh.devices.flat)
+                    if d.process_index == pid]
+    for li, d in enumerate(local_blocks):
+        got = out_rows[li * R:(li + 1) * R][out_mask[li * R:(li + 1) * R]]
+        want = rows[rmask & (new_owner == d)]
+        assert len(got) == len(want), (d, len(got), len(want))
+        o_g = np.lexsort(got.T[::-1])
+        o_w = np.lexsort(want.T[::-1])
+        assert np.allclose(got[o_g], want[o_w]), f"block {d} rows diverged"
+
     # --- distributed Sim3 pose graph over the same process set ---
     pg_prob = build_pg_problem()
     pg_mesh = Mesh(np.array(devs), ("pg",))
@@ -165,9 +199,12 @@ def run_worker(args) -> int:
             "global_devices": n_total,
             "ba_cam_max_err_m": float(np.abs(cam_mh[:, :3, 3] - cam_1[:, :3, 3]).max()),
             "ba_chi2": chi2_mh,
+            "segba_cam_max_err_m": float(np.abs(cam_seg[:, :3, 3] - cam_1[:, :3, 3]).max()),
+            "migrate_ok": True,  # per-process block verification above raises on mismatch
             "pg_vt_max_err_m": float(np.abs(vt_mh - vt_1).max()),
             "ok": bool(
                 np.allclose(cam_mh, cam_1, atol=1e-3)
+                and np.allclose(cam_seg, cam_1, atol=1e-3)
                 and np.allclose(vt_mh, vt_1, atol=1e-3)
             ),
         }
