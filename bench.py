@@ -26,10 +26,14 @@ through that debug link is not part of the system under test.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# A/B hook (SCALING.md deviation table): chunk length of the staged pipeline.
+SYNC = int(os.environ.get("SLAM_BENCH_SYNC", "8"))
 
 
 def main() -> None:
@@ -65,7 +69,7 @@ def main() -> None:
     # AOT-compiles once per camera geometry before serving; JAX's persistent
     # compilation cache carries the kernels across processes, so repeat runs
     # pay Python tracing + cache loads only.
-    warm = SlamSystem(cfg, sync_every=8)
+    warm = SlamSystem(cfg, sync_every=SYNC)
     for f in range(n_frames):
         warm.track_stereo_device(pairs[f], world.timestamps[f])
     warm.shutdown()
@@ -78,7 +82,7 @@ def main() -> None:
     # chunked execution most cost lands on the 1-in-sync_every chunk-boundary
     # frames, which the trim discarded — wall clock is the only honest
     # accounting.)
-    system = SlamSystem(cfg, sync_every=8)
+    system = SlamSystem(cfg, sync_every=SYNC)
     t_start = time.perf_counter()
     for f, pair in enumerate(pairs):
         system.track_stereo_device(pair, world.timestamps[f])

@@ -92,24 +92,19 @@ def brief_descriptors(img_blur: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarra
     #     column selection of the window — no data-dependent gather;
     #  3. a one-hot matmul picks each keypoint's bin.
     # A direct data-dependent (N, 512) gather from the full image costs ~12 ms
-    # per frame on TPU; this form is ~20x cheaper.
-    from slam_framework_tpu.ops import patch_pallas
+    # per frame on TPU; this form is ~20x cheaper. (A Pallas DMA/roll window
+    # kernel was prototyped in rounds 3-4 and retired: on the v5e the compiled
+    # kernel measured 5.8 ms per 2000-keypoint image against 3.3 ms for this
+    # XLA dynamic-slice form — per-keypoint grid launches lose to XLA's fused
+    # gather at these sizes.)
+    padded = jnp.pad(img_blur, pad + 1, mode="edge")
 
-    if patch_pallas.available():
-        # DMA/roll window kernel (ops/patch_pallas.py): the XLA vmapped
-        # dynamic-slice gather costs ~4.8 ms per image here. Window content is
-        # identical: corner = keypoint - pad, edge-padded borders.
-        wins = patch_pallas.gather_windows(img_blur, xy, side, pad)
-        flat = wins.reshape(N, side * side)
-    else:
-        padded = jnp.pad(img_blur, pad + 1, mode="edge")
+    def window(p):
+        # keypoint (x, y) sits at padded (y + pad + 1, x + pad + 1); offsets
+        # span [-pad, pad] so the window starts at (y + 1, x + 1)
+        return jax.lax.dynamic_slice(padded, (p[1] + 1, p[0] + 1), (side, side))
 
-        def window(p):
-            # keypoint (x, y) sits at padded (y + pad + 1, x + pad + 1); offsets
-            # span [-pad, pad] so the window starts at (y + 1, x + 1)
-            return jax.lax.dynamic_slice(padded, (p[1] + 1, p[0] + 1), (side, side))
-
-        flat = jax.vmap(window)(xy).reshape(N, side * side)  # (N, side^2)
+    flat = jax.vmap(window)(xy).reshape(N, side * side)  # (N, side^2)
 
     return descriptors_from_windows(flat, angles, side=side, pad=pad)
 

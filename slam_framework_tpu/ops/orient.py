@@ -88,29 +88,10 @@ def ic_angles_from_windows(wins: jnp.ndarray, off: int) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
-@functools.lru_cache(maxsize=1)
-def _disk_masks32():
-    """(32, 32) weight maps: the 31x31 disk zero-extended one row/col (the
-    pallas window is 32x32 for sublane alignment; the extra offset +16 row and
-    column carry zero weight)."""
-    xw, yw = _disk_masks()
-    return (
-        np.pad(xw, ((0, 1), (0, 1))).astype(np.float32),
-        np.pad(yw, ((0, 1), (0, 1))).astype(np.float32),
-    )
-
-
 def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Orientation (radians, in [-pi, pi]) for each keypoint. xy (N,2) int32."""
-    from slam_framework_tpu.ops import patch_pallas
-
-    if patch_pallas.available():
-        # DMA/roll window kernel: the XLA gather costs ~4.7 ms per image here
-        patches = patch_pallas.gather_windows(img, xy, 32, HALF_PATCH)
-        xw, yw = _disk_masks32()
-    else:
-        patches = gather_patches(img, xy, PATCH, HALF_PATCH + 1)
-        xw, yw = _disk_masks()
+    patches = gather_patches(img, xy, PATCH, HALF_PATCH + 1)
+    xw, yw = _disk_masks()
     m10 = jnp.sum(patches * xw[None], axis=(1, 2))
     m01 = jnp.sum(patches * yw[None], axis=(1, 2))
     return jnp.arctan2(m01, m10)

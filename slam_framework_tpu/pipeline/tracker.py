@@ -100,6 +100,17 @@ class StereoTracker:
         # keyframe decision / local-block refresh (bounded-staleness design,
         # module docstring). Depth 1 = the round-1 fully-serial behavior.
         self.pipeline_depth = max(1, pipeline_depth)
+        # Serialize the chunk boundary right after a keyframe: the rebuilt
+        # local block then enters tracking with serial latency, at the cost of
+        # an unpipelined (full device round-trip) chunk per keyframe. False =
+        # the remap rides the device stream between in-flight chunks
+        # (_remap_program composes with any depth) and the block refresh lags
+        # one extra chunk. With the r4 drain-lagged mapper write-backs, that
+        # extra lag measurably starves tracking on the bench circle (inliers
+        # 467->98, 40 frames lost by frame 160); serialized keeps the map
+        # fresh (0 lost, inliers ~190 steady) for one chunk's worth of
+        # latency per keyframe. Default True — accuracy first.
+        self.serial_after_keyframe = True
         # Keyframe budget per drained chunk scales with chunk length so the
         # keyframe CADENCE is set in frames (the reference's rule,
         # tracker.cpp:1224-1306), not chunks — a budget of 1 at sync_every=8
@@ -166,7 +177,7 @@ class StereoTracker:
         pipeline freely."""
         if self.arena.n_valid_kfs < self.MATURE_MAP_KFS:
             return 1
-        if self._pending_remap is not None:
+        if self._pending_remap is not None and self.serial_after_keyframe:
             return 1
         return self.pipeline_depth
 
@@ -193,14 +204,17 @@ class StereoTracker:
         them MapPointCulling's found-ratio is meaningless and the map starves).
 
         Structure: the ORB front-end (pyramid/FAST/BRIEF/stereo) is independent of
-        tracking state, so it runs as ONE vmapped program over all K frames —
-        larger batched kernels instead of K serialized executions inside the scan
-        (the scan would also false-serialize frame i+1's extraction behind frame
-        i's pose optimization). Only the state-carrying tracking part scans."""
+        tracking state, so it runs as its own lax.map phase over the K frames
+        ahead of the state-carrying tracking scan (which would false-serialize
+        frame i+1's extraction behind frame i's pose optimization). lax.map
+        (sequential per-frame kernels) beats vmap (one batched program) here —
+        measured 17.3 vs 24.8 ms/frame on the v5e: batching the per-keypoint
+        window/stereo gathers into (K, N, ...) shapes defeats XLA's
+        dynamic-slice lowering and spills VMEM on the full-height conv maps."""
         P = block.pos.shape[0]
         zeros = jnp.zeros(P, jnp.int32)
 
-        fds = jax.vmap(lambda img: self.frontend._process(img[0], img[1]))(images)
+        fds = jax.lax.map(lambda img: self.frontend._process(img[0], img[1]), images)
 
         def body(carry, fd):
             st, vis_acc, found_acc = carry
@@ -465,6 +479,13 @@ class StereoTracker:
         fids, tss, summaries_dev, packs_dev, descs_dev, vis_dev, found_dev, block_ids = (
             self._pending.pop(0)
         )
+        # packs/descs (the per-frame feature tables, ~140 KB/frame) ride the
+        # consolidated fetch even though only keyframe-promoted frames need
+        # host copies: this RPC runs against a SETTLED queue (the probe just
+        # drained it), so the extra payload costs ~37 ms/chunk of bandwidth —
+        # whereas fetching per-keyframe inside _create_keyframe (tried in r4)
+        # blocks behind the just-dispatched next chunk, ~200 ms per keyframe
+        # (cProfile: _create_keyframe 256 ms/KF, ~80% in that device_get).
         fetch = [summaries_dev, vis_dev, found_dev, packs_dev, descs_dev]
         ba_handles = self.local_mapper.ba_handles()
         if ba_handles is not None:
@@ -475,6 +496,12 @@ class StereoTracker:
         fuse_handles = self.local_mapper.fuse_handles()
         if fuse_handles is not None:
             fetch += fuse_handles
+        with self.timers.time("drain/queue_wait"):
+            # 1-element probe of the LAST-submitted handle: in-order stream
+            # execution means its readiness == the whole queue has settled.
+            # Splits the blocking get into device-wait vs payload-transfer.
+            probe = jax.tree_util.tree_leaves(fetch[-1])[-1]
+            jax.device_get(probe.ravel()[:1])
         with self.timers.time("drain/device_get"):
             fetched = jax.device_get(fetch)
         summaries, vis, found, packs, descs = fetched[:5]
