@@ -100,8 +100,13 @@ class LocalMapper:
         # fixed-capacity window truncates what the reference would have kept
         self.cap_clips: dict = {}
         self._ba_pending = None
-        self._tri_pending = None  # (kf, (nbr_ids, device result)) awaiting apply
-        self._fuse_pending = None  # (nbr_ids, pids_pad, device result) awaiting apply
+        # Lists: a chunk can promote several keyframes; each appends its async
+        # triangulation/fuse dispatch and ALL of them land at the next drain
+        # (blocking on a just-dispatched result mid-chunk costs ~200 ms behind
+        # the in-flight tracking chunk — the r4 cProfile's biggest host item).
+        self._tri_pending = []   # [(kf, nbr_ids, device result)] awaiting apply
+        self._fuse_pending = []  # [(nbr_ids, pids_pad, device result)] awaiting apply
+        self.ba_aborts = 0  # BA results discarded on newer-keyframe arrival
 
     def note_new_points(self, pids, kf: int) -> None:
         self.recent_points.extend((int(p), kf) for p in np.atleast_1d(pids))
@@ -125,21 +130,50 @@ class LocalMapper:
         Monocular gets NO points except by triangulation, so there it runs
         synchronously after flush_ba on settled poses — staleness there loses
         tracking (measured)."""
+        import os
+
+        # A/B toggles for the pending-write-back policy (SCALING.md deviation
+        # table). "block" = apply all pendings here, blocking on the device if
+        # the drain didn't already fetch them (pre-r4 semantics); "lag" lets a
+        # same-chunk second keyframe's pendings ride to the next drain;
+        # "discard" drops an unfetched in-flight BA on newer-keyframe arrival
+        # (the reference's abort: LocalMapper::InsertKeyFrame ->
+        # abort_bundle_adjustment_, local_mapper.cpp:89-93).
+        ba_mode = os.environ.get("SLAM_R4_BA", "block")
+        tf_mode = os.environ.get("SLAM_R4_TRIFUSE", "block")
         lazy = self.cfg.sensor != "monocular"
         with self.timers.time("mapper/writeback"):
-            self.apply_pending_fuse(prefetched=prefetched_fuse)
-            if self.cfg.mapping.triangulate_new_points and lazy:
-                self.apply_pending_triangulation(prefetched=prefetched_tri)
-            self.flush_ba(prefetched=prefetched_ba)
+            if not lazy:
+                self.apply_pending_fuse(prefetched=prefetched_fuse)
+                if self.cfg.mapping.triangulate_new_points:
+                    self.apply_pending_triangulation(prefetched=prefetched_tri)
+                self.flush_ba(prefetched=prefetched_ba)
+            else:
+                # Each pending is applied EXACTLY once: the fuse dispatch that
+                # apply_pending_triangulation appends must never be consumed
+                # with this drain's (older) prefetched arrays — hence fuse
+                # strictly before tri, and no re-application afterwards.
+                if prefetched_fuse is not None or tf_mode == "block":
+                    self.apply_pending_fuse(prefetched=prefetched_fuse)
+                if self.cfg.mapping.triangulate_new_points and (
+                    prefetched_tri is not None or tf_mode == "block"
+                ):
+                    self.apply_pending_triangulation(prefetched=prefetched_tri)
+                if prefetched_ba is not None or ba_mode == "block":
+                    self.flush_ba(prefetched=prefetched_ba)
+                elif self._ba_pending is not None:
+                    self._ba_pending = None
+                    self.ba_aborts += 1
         with self.timers.time("mapper/cull_points"):
             self._cull_points(kf)
         if self.cfg.mapping.triangulate_new_points:
             with self.timers.time("mapper/triangulate"):
                 pending = self._dispatch_triangulation(kf)
-                if lazy:
-                    self._tri_pending = (kf, pending)
-                elif pending is not None:
-                    self._apply_triangulation(kf, *pending)
+                if pending is not None:
+                    if lazy:
+                        self._tri_pending.append((kf,) + pending)
+                    else:
+                        self._apply_triangulation(kf, *pending)
         with self.timers.time("mapper/ba_dispatch"):
             self._local_ba(kf)
         if self.cfg.mapping.cull_keyframes:
@@ -187,24 +221,26 @@ class LocalMapper:
         return nbr_ids, res
 
     def tri_handles(self):
-        """Device arrays of the in-flight triangulation result, or None — the
-        tracker folds these into its per-chunk drain fetch (see ba_handles)."""
-        if self._tri_pending is None:
+        """Device arrays of the in-flight triangulation result(s), or None —
+        the tracker folds these into its per-chunk drain fetch (see
+        ba_handles). 4 arrays per pending entry, in pending order."""
+        if not self._tri_pending:
             return None
-        _, (_, res) = self._tri_pending
-        return [res.ni, res.nf, res.pts, res.valid]
+        out = []
+        for (_, _, res) in self._tri_pending:
+            out += [res.ni, res.nf, res.pts, res.valid]
+        return out
 
     def apply_pending_triangulation(self, prefetched=None) -> None:
-        """Insert the previous keyframe's (async) triangulation result into the
-        map. With prefetched host arrays this is free of device round-trips."""
-        pending = self._tri_pending
-        if pending is None:
-            return
-        self._tri_pending = None
-        kf, (nbr_ids, res) = pending
-        if not self.arena.kf_valid[kf]:
-            return  # keyframe culled while the triangulation was in flight
-        self._apply_triangulation(kf, nbr_ids, res, prefetched=prefetched)
+        """Insert the pending (async) triangulation result(s) into the map.
+        With prefetched host arrays (4 per entry, tri_handles order) this is
+        free of device round-trips."""
+        pending, self._tri_pending = self._tri_pending, []
+        for i, (kf, nbr_ids, res) in enumerate(pending):
+            if not self.arena.kf_valid[kf]:
+                continue  # keyframe culled while the triangulation was in flight
+            pf = prefetched[4 * i: 4 * i + 4] if prefetched is not None else None
+            self._apply_triangulation(kf, nbr_ids, res, prefetched=pf)
 
     def _apply_triangulation(self, kf: int, nbr_ids, res, prefetched=None) -> None:
         """Second half of CreateNewMapPoints: fetch the (compacted) device result
@@ -268,7 +304,7 @@ class LocalMapper:
             pending = self._dispatch_fuse(kf)
             if pending is not None:
                 if self.cfg.sensor != "monocular":
-                    self._fuse_pending = pending
+                    self._fuse_pending.append(pending)
                 else:
                     self._apply_fuse(*pending)
 
@@ -327,19 +363,17 @@ class LocalMapper:
         return nbr_ids, pids_pad, res
 
     def fuse_handles(self):
-        """Device arrays of the in-flight fuse result, or None — the tracker folds
-        these into its per-chunk drain fetch (see ba_handles)."""
-        if getattr(self, "_fuse_pending", None) is None:
+        """Device arrays of the in-flight fuse result(s), or None — the tracker
+        folds these into its per-chunk drain fetch (one array per entry)."""
+        if not self._fuse_pending:
             return None
-        return [self._fuse_pending[2]]
+        return [res for (_, _, res) in self._fuse_pending]
 
     def apply_pending_fuse(self, prefetched=None) -> None:
-        pending = getattr(self, "_fuse_pending", None)
-        if pending is None:
-            return
-        self._fuse_pending = None
-        nbr_ids, pids_pad, res = pending
-        self._apply_fuse(nbr_ids, pids_pad, res, prefetched=prefetched)
+        pending, self._fuse_pending = self._fuse_pending, []
+        for i, (nbr_ids, pids_pad, res) in enumerate(pending):
+            pf = prefetched[i: i + 1] if prefetched is not None else None
+            self._apply_fuse(nbr_ids, pids_pad, res, prefetched=pf)
 
     def _apply_fuse(self, nbr_ids, pids_pad, res, prefetched=None) -> None:
         """Host write-back: add-observation on a free neighbor feature, or merge on
