@@ -121,6 +121,18 @@ class MappingConfig:
     # device index so they never contend with the tracker's per-frame chip.
     # Falls back to the default device when the index doesn't exist (1-chip).
     device_index: int = 1
+    # Write-back policy for the in-flight (async) local BA when a NEW keyframe
+    # arrives before the tracker's drain fetched the result (stereo/RGB-D only;
+    # mono is always synchronous). "block" = fetch it now, blocking on the
+    # device (every result lands); "discard" = drop it — the reference's abort
+    # (LocalMapper::InsertKeyFrame sets abort_bundle_adjustment_,
+    # local_mapper.cpp:89-93). The BA slot is single-entry, so there is no
+    # "lag": a new dispatch would overwrite the unfetched result anyway.
+    ba_writeback: str = "block"
+    # Policy for the in-flight triangulation + neighbor-fuse results: "block" =
+    # fetch now; "lag" = stay in the pending lists and land at the next tracker
+    # drain (no discard — geometry is never thrown away).
+    trifuse_writeback: str = "block"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -130,17 +130,15 @@ class LocalMapper:
         Monocular gets NO points except by triangulation, so there it runs
         synchronously after flush_ba on settled poses — staleness there loses
         tracking (measured)."""
-        import os
-
-        # A/B toggles for the pending-write-back policy (SCALING.md deviation
-        # table). "block" = apply all pendings here, blocking on the device if
-        # the drain didn't already fetch them (pre-r4 semantics); "lag" lets a
+        # Pending-write-back policy (config.MappingConfig.{ba,trifuse}_writeback;
+        # A/B rows in SCALING.md). "block" = apply all pendings here, blocking
+        # on the device if the drain didn't already fetch them; "lag" lets a
         # same-chunk second keyframe's pendings ride to the next drain;
-        # "discard" drops an unfetched in-flight BA on newer-keyframe arrival
-        # (the reference's abort: LocalMapper::InsertKeyFrame ->
+        # "discard" (BA only) drops an unfetched in-flight BA on newer-keyframe
+        # arrival (the reference's abort: LocalMapper::InsertKeyFrame ->
         # abort_bundle_adjustment_, local_mapper.cpp:89-93).
-        ba_mode = os.environ.get("SLAM_R4_BA", "block")
-        tf_mode = os.environ.get("SLAM_R4_TRIFUSE", "block")
+        ba_mode = self.cfg.mapping.ba_writeback
+        tf_mode = self.cfg.mapping.trifuse_writeback
         lazy = self.cfg.sensor != "monocular"
         with self.timers.time("mapper/writeback"):
             if not lazy:
@@ -239,7 +237,11 @@ class LocalMapper:
         for i, (kf, nbr_ids, res) in enumerate(pending):
             if not self.arena.kf_valid[kf]:
                 continue  # keyframe culled while the triangulation was in flight
+            # defensive: a pending entry beyond the drain-time snapshot has no
+            # prefetched rows — fall back to a blocking fetch, never slice short
             pf = prefetched[4 * i: 4 * i + 4] if prefetched is not None else None
+            if pf is not None and len(pf) < 4:
+                pf = None
             self._apply_triangulation(kf, nbr_ids, res, prefetched=pf)
 
     def _apply_triangulation(self, kf: int, nbr_ids, res, prefetched=None) -> None:
@@ -373,6 +375,8 @@ class LocalMapper:
         pending, self._fuse_pending = self._fuse_pending, []
         for i, (nbr_ids, pids_pad, res) in enumerate(pending):
             pf = prefetched[i: i + 1] if prefetched is not None else None
+            if pf is not None and len(pf) == 0:
+                pf = None  # entry newer than the drain-time snapshot
             self._apply_fuse(nbr_ids, pids_pad, res, prefetched=pf)
 
     def _apply_fuse(self, nbr_ids, pids_pad, res, prefetched=None) -> None:

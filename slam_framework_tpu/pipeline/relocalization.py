@@ -71,9 +71,9 @@ class Relocalizer:
         self.arena = arena
         self.K = K
         self.place_rec = place_rec
-        import os
-
-        self._debug = bool(os.environ.get("SLAM_RELOC_DEBUG"))
+        # diagnostic prints for reloc tuning (set directly from tools/tests;
+        # policy knobs live in SlamConfig, debug toggles on the instance)
+        self._debug = False
         self._key = jax.random.PRNGKey(11)
         fp = ("Relocalizer", progcache.config_fingerprint(cfg))
         _sj = progcache.shared_jit

@@ -497,11 +497,17 @@ class StereoTracker:
         if fuse_handles is not None:
             fetch += fuse_handles
         with self.timers.time("drain/queue_wait"):
-            # 1-element probe of the LAST-submitted handle: in-order stream
-            # execution means its readiness == the whole queue has settled.
-            # Splits the blocking get into device-wait vs payload-transfer.
-            probe = jax.tree_util.tree_leaves(fetch[-1])[-1]
-            jax.device_get(probe.ravel()[:1])
+            # 1-RPC probe splitting the blocking get into device-wait vs
+            # payload-transfer. Dispatch order varies: mapper handles enqueue
+            # AFTER this chunk on pipelined boundaries but BEFORE it on the
+            # serial-after-keyframe boundary — so probe one leaf of the
+            # chunk's own output AND one of the last appended handle (a
+            # single device_get blocks until both are settled; in-order
+            # execution then guarantees every fetched handle is too).
+            probes = [jax.tree_util.tree_leaves(fetch[0])[-1].ravel()[:1]]
+            if len(fetch) > 5:
+                probes.append(jax.tree_util.tree_leaves(fetch[-1])[-1].ravel()[:1])
+            jax.device_get(probes)
         with self.timers.time("drain/device_get"):
             fetched = jax.device_get(fetch)
         summaries, vis, found, packs, descs = fetched[:5]

@@ -265,3 +265,78 @@ def test_mapper_programs_run_on_secondary_device(scene):
     _, res = tri
     assert res.pts.devices() == {mapper.device}
     mapper._apply_triangulation(1, *tri)  # cross-device fetch works
+
+
+class TestWritebackPolicy:
+    """config.MappingConfig.{ba,trifuse}_writeback: the pending-write-back
+    policy at keyframe arrival (reference abort semantics:
+    LocalMapper::InsertKeyFrame -> abort_bundle_adjustment_,
+    local_mapper.cpp:89-93)."""
+
+    def _arena_with_two_kfs(self, scene, mapping_cfg):
+        pts, descs = scene
+        from slam_framework_tpu.config import MappingConfig
+
+        cfg = SlamConfig(
+            camera=CameraConfig(fx=FX, fy=FY, cx=CX, cy=CY, width=320, height=240, bf=60.0),
+            capacity=CapacityConfig(max_keyframes=8, max_map_points=512, max_features=N),
+            mapping=mapping_cfg,
+        )
+        arena = MapArena.create(cfg.capacity, N)
+        for tx in (0.0, 1.0):
+            T = _pose(tx)
+            uv, _ = _project(T, pts)
+            xy = np.zeros((N, 2), np.float32); xy[:64] = uv
+            desc = np.zeros((N, 8), np.uint32); desc[:64] = descs
+            valid = np.arange(N) < 64
+            arena.add_keyframe(
+                T, int(tx), float(tx), xy, np.full(N, -1.0, np.float32),
+                np.full(N, -1.0, np.float32), np.zeros(N, np.int16),
+                np.zeros(N, np.float32), desc, valid, np.full(N, -1, np.int32),
+            )
+        for j in range(40):
+            pid = arena.add_point(pts[j], descs[j], 0, np.array([0, 0, 1.0], np.float32), 1.0, 30.0)
+            arena.associate(0, j, pid)
+            arena.associate(1, j, pid)
+        return cfg, arena
+
+    def test_discard_drops_inflight_ba(self, scene):
+        from slam_framework_tpu.config import MappingConfig
+
+        cfg, arena = self._arena_with_two_kfs(
+            scene, MappingConfig(ba_writeback="discard", triangulate_new_points=False,
+                                 cull_keyframes=False))
+        mapper = LocalMapper(cfg, arena, K)
+        mapper._local_ba(1)  # in-flight BA, as if dispatched at the previous KF
+        assert mapper._ba_pending is not None
+        mapper.process_keyframe(1)  # new KF arrives, nothing prefetched
+        assert mapper.ba_aborts == 1
+        # the new dispatch from THIS keyframe is pending; the old one was dropped
+        assert mapper._ba_pending is not None
+
+    def test_trifuse_lag_rides_to_next_drain(self, scene):
+        from slam_framework_tpu.config import MappingConfig
+
+        cfg, arena = self._arena_with_two_kfs(
+            scene, MappingConfig(ba_writeback="block", trifuse_writeback="lag",
+                                 triangulate_new_points=False, cull_keyframes=False))
+        mapper = LocalMapper(cfg, arena, K)
+        pending = mapper._dispatch_fuse(1)
+        assert pending is not None
+        mapper._fuse_pending.append(pending)
+        mapper.process_keyframe(1)  # nothing prefetched: lag keeps it in flight
+        assert mapper._fuse_pending and mapper._fuse_pending[0] is pending
+        mapper.finalize()  # next drain (or shutdown) lands it
+        assert not mapper._fuse_pending
+
+    def test_block_applies_inflight_ba(self, scene):
+        from slam_framework_tpu.config import MappingConfig
+
+        cfg, arena = self._arena_with_two_kfs(
+            scene, MappingConfig(ba_writeback="block", triangulate_new_points=False,
+                                 cull_keyframes=False))
+        mapper = LocalMapper(cfg, arena, K)
+        mapper._local_ba(1)
+        mapper.process_keyframe(1)
+        assert mapper.ba_aborts == 0
+        assert mapper.last_ba_stats.get("cams", 0) >= 2  # the old BA landed

@@ -77,8 +77,10 @@ def main() -> int:
     def build():
         s = SlamSystem(cfg, sync_every=sync)
         s.tracker.pipeline_depth = depth
-        if variant == "serial_kf":
-            s.tracker.serial_after_keyframe = True
+        if variant == "free_kf":
+            # serial_after_keyframe=True is the tracker default, so the A/B's
+            # informative arm is turning it OFF (free pipelining across KFs)
+            s.tracker.serial_after_keyframe = False
         if kf_budget is not None:
             s.tracker.max_kfs_per_chunk = kf_budget
         return s
