@@ -88,6 +88,10 @@ class TrackerConfig:
     new_kf_ref_ratio_few_kfs: float = 0.4
     new_kf_ref_ratio_mono: float = 0.9
     mono_init_min_matches: int = 100
+    # stereo init gates: > 500 features (tracker.cpp:251) + a healthy stereo-
+    # depth count; surfaced so tiny-shape configs (dryrun, tests) can bootstrap
+    min_init_features: int = 500
+    min_init_stereo: int = 250
     depth_threshold_factor: float = 35.0  # depth_threshold_ = bf*th/fx (tracker.cpp:91-94)
     # Rotational smoothing of the constant-velocity motion model. The reference
     # extrapolates the raw per-frame SE3 velocity (tracker.cpp:765); with chunked
@@ -145,6 +149,12 @@ class LoopConfig:
     accept_total_matches: int = 40
     essential_graph_min_feat: int = 100
     essential_graph_iters: int = 20
+    # Suppress a candidate covisibility group for this many keyframes after it
+    # fails Sim3/guided acceptance. The reference retries for free on its async
+    # LoopClosing thread; here each attempt costs a mapper drain + ~5 tunnel
+    # RPCs on the critical path (r4 steady profile: 52 attempts per closed
+    # loop). 0 disables (reference behavior).
+    sim3_fail_cooldown: int = 2
     global_ba_iters: int = 10
     run_global_ba: bool = True            # loop_closer.cpp:685-690 spawns GBA
 

@@ -96,11 +96,20 @@ class LoopCloser:
         K: Intrinsics,
         vocab: Optional[bow_vocab.Vocabulary] = None,
         kf_store=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.arena = arena
         self.K = K
         self.vocab = vocab
+        # Device mesh for the post-loop global BA (SURVEY.md §2.3 / §5.8: the
+        # reference WIRES its concurrency into the system at construction —
+        # slam_system.cpp:49-82 launches the threads, loop_closer.cpp:685-690
+        # spawns the GBA worker; here the system hands the loop closer the mesh
+        # and the GBA runs as a sharded SPMD program over it, with point
+        # ownership migrated between covisibility segments after each merge).
+        self.mesh = mesh
+        self.partition = None  # live map partition (parallel/map_shard.py)
         # Device-resident keyframe feature store (pipeline/kf_store.py): BoW,
         # descriptor matching and Sim3-guided programs gather kf features by
         # INDEX instead of re-uploading ~130 KB of desc/xy per call
@@ -109,6 +118,14 @@ class LoopCloser:
         self.bow_frames: dict[int, BowFrame] = {}
         self.consistent_groups: List[Tuple[set, int]] = []
         self.last_loop_kf = -(10**9)
+        # Sim3-failure cooldown (host-side gate, no reference analogue needed:
+        # its async LoopClosing thread re-attempts for free, while here every
+        # attempt costs a mapper drain + ~5 tunnel RPCs on the critical path;
+        # the r4 steady profile measured 52 attempts / 1 closed loop = ~6 s).
+        # A failed candidate's covisibility group is suppressed for
+        # cfg.loop.sim3_fail_cooldown keyframes.
+        self._sim3_failed: List[Tuple[set, int]] = []  # (group, failed_at_kf)
+        self.n_sim3_attempts = 0
         self.loop_edges: List[Tuple[int, int, dict]] = []  # (kf_a, kf_b, S_ab host Sim3)
         self.n_loops_closed = 0
         self.last_report: dict = {}
@@ -312,6 +329,31 @@ class LoopCloser:
             )
         self._bow_pending = (kf, word, weight)
 
+    def aux_templates(self):
+        """(shape, dtype) of the aux arrays when absent — lets the tracker pad
+        its fixed-slot payload so the packed-fetch program keeps one compiled
+        signature whether or not a BoW transform is in flight."""
+        node_weight, node_word = self._tables[2], self._tables[3]
+        Fn = self.arena.kf_desc.shape[1]
+        return [((Fn,), np.dtype(node_word.dtype)), ((Fn,), np.dtype(node_weight.dtype))]
+
+    def aux_handles(self):
+        """Device arrays of the in-flight BoW transform, or None — the tracker
+        folds these into its consolidated drain RPC (tracker.aux_fetch), so
+        _harvest_bow never blocks behind the in-flight chunk."""
+        if self._bow_pending is None:
+            return None
+        _, word_d, weight_d = self._bow_pending
+        if isinstance(word_d, np.ndarray):
+            return None  # already delivered
+        return [word_d, weight_d]
+
+    def aux_deliver(self, fetched) -> None:
+        if self._bow_pending is None:
+            return
+        kf, _, _ = self._bow_pending
+        self._bow_pending = (kf, np.asarray(fetched[0]), np.asarray(fetched[1]))
+
     def _harvest_bow(self):
         if self._bow_pending is None:
             return None
@@ -319,7 +361,10 @@ class LoopCloser:
         self._bow_pending = None
         if not self.arena.kf_valid[kf]:
             return None  # culled while in flight
-        word, weight = jax.device_get([word_d, weight_d])
+        if isinstance(word_d, np.ndarray):  # delivered via the drain RPC
+            word, weight = word_d, weight_d
+        else:
+            word, weight = jax.device_get([word_d, weight_d])
         bow = BowFrame(word, weight)
         self.bow_frames[kf] = bow
         return kf, bow
@@ -331,8 +376,18 @@ class LoopCloser:
             return False
         if pre_close is not None:
             pre_close()
+        self.n_sim3_attempts += 1
         cand = self._compute_sim3(kf, candidates)
         if cand is None:
+            # start the failure cooldown for every attempted candidate group
+            arena = self.arena
+            for c in candidates:
+                grp = set(
+                    int(i) for i in arena.covisible_keyframes(
+                        c, min_shared=self.cfg.mapping.covisibility_edge_min
+                    )
+                ) | {c}
+                self._sim3_failed.append((grp, kf))
             return False
         self._correct_loop(kf, cand)
         self.n_loops_closed += 1
@@ -410,6 +465,23 @@ class LoopCloser:
             if best_count >= cfg.loop.consistency_threshold:
                 enough.append(cand)
         self.consistent_groups = new_groups
+        # failure cooldown: suppress candidates whose group overlaps one that
+        # just failed Sim3 (each attempt drains the mapper + pays ~5 RPCs; a
+        # genuine loop's overlap only grows, so a short cooldown merely delays
+        # acceptance by <= cooldown keyframes)
+        cd = cfg.loop.sim3_fail_cooldown
+        if cd > 0 and self._sim3_failed and enough:
+            self._sim3_failed = [
+                (g, at) for (g, at) in self._sim3_failed if kf - at <= cd
+            ]
+            cand_group = dict(zip(raw, new_groups))
+            kept = []
+            for cand in enough:
+                grp = cand_group[cand][0]
+                if any(grp & g for (g, at) in self._sim3_failed):
+                    continue
+                kept.append(cand)
+            enough = kept
         return enough
 
     # ------------------------------------------------------------------ Sim3
@@ -785,6 +857,10 @@ class LoopCloser:
         from slam_framework_tpu.optim import global_ba
 
         arena = self.arena
+        n_mesh = self.mesh.devices.size if self.mesh is not None else 1
+        if n_mesh > 1:
+            self._dispatch_global_ba_sharded(n_mesh)
+            return
         prob, cams, pids = global_ba.build_global_problem(arena, self.cfg)
         if self._jit_gba is None:
             self._jit_gba = progcache.shared_jit(
@@ -807,6 +883,39 @@ class LoopCloser:
             "n_pts": arena.num_pts,
         }
 
+    def _dispatch_global_ba_sharded(self, n_shards: int) -> None:
+        """Post-loop global BA as ONE SPMD program over the system's mesh
+        (the live-system integration of parallel/dist_ba + map_shard; VERDICT
+        r4 item 2): points are owner-keyed to covisibility segments
+        (map_shard.partition_arena), each shard reduces its landmark blocks
+        locally, and the camera system psums over the mesh axis. The dispatch
+        is as async as the single-device path — results merge later in
+        apply_pending_gba, followed by point-ownership migration."""
+        from slam_framework_tpu.optim import global_ba
+        from slam_framework_tpu.parallel import dist_ba, map_shard
+
+        arena = self.arena
+        prob, cams, pids = global_ba.build_global_problem(arena, self.cfg)
+        partition = map_shard.partition_arena(arena, n_shards)
+        pids_arr = np.asarray(pids, np.int64)
+        owner = partition.owner_of_pt[pids_arr] % n_shards
+        owner = np.where(owner >= 0, owner, 0)
+        sharded = dist_ba.shard_problem(prob, n_shards, owner=owner)
+        res = dist_ba.optimize_global_sharded(
+            sharded, self.mesh, self.K,
+            iters_first=0, iters_second=self.cfg.loop.global_ba_iters,
+        )
+        self._gba_pending = {
+            "res": res,
+            "cams": np.asarray(cams),
+            "pids": np.asarray(pids),
+            "n_kfs": arena.num_kfs,
+            "n_pts": arena.num_pts,
+            "owner": owner,
+            "n_shards": n_shards,
+            "partition": partition,
+        }
+
     def apply_pending_gba(self) -> bool:
         """Merge an in-flight global BA into the (possibly grown) map — the
         reference's RunGlobalBundleAdjustment merge step (loop_closer.cpp:87-171):
@@ -825,6 +934,17 @@ class LoopCloser:
             [res.cam_pose, res.pt_pos, res.total_chi2]
         )
         cams, pids = pending["cams"], pending["pids"]
+        if pending.get("owner") is not None:
+            # sharded layout: point at live-rank r sits at shard s_of[r], local
+            # slot lp_of[r] — reorder back to rank order before the merge
+            from slam_framework_tpu.parallel import dist_ba
+
+            n = pending["n_shards"]
+            P_s = new_pt.shape[0] // n
+            s_of, lp_of, _ = dist_ba.point_layout(
+                len(pids), n, pending["owner"]
+            )
+            new_pt = np.asarray(new_pt)[s_of * P_s + lp_of]
         cam_rank = {int(c): i for i, c in enumerate(cams)}
         n_now = arena.num_kfs
 
@@ -881,9 +1001,77 @@ class LoopCloser:
             arena.kf_pose[c] = T.astype(np.float32)
         self.last_report.update(
             {"gba": {"cams": len(cams), "points": len(pids),
-                     "chi2": float(total_chi2), "merged_kfs": len(post) - len(in_prob)}}
+                     "chi2": float(total_chi2), "merged_kfs": len(post) - len(in_prob),
+                     "devices": pending.get("n_shards", 1)}}
         )
+        if pending.get("partition") is not None:
+            self._migrate_after_gba(pending)
         return True
+
+    def _migrate_after_gba(self, pending) -> None:
+        """Post-merge point-ownership migration (SCALING.md design step 4,
+        live-wired per VERDICT r4 item 2): loop fusion moved observations
+        across covisibility segments, so ownership is recomputed from the
+        POST-merge graph and the moved point rows are re-dealt across the mesh
+        with ONE all_to_all (map_shard.migrate_points) — scheduled exactly
+        where the async GBA merge lands, never on the per-frame path (the
+        reference's analogous merge step: loop_closer.cpp:87-171)."""
+        from slam_framework_tpu.optim.global_ba import _next_pow2
+        from slam_framework_tpu.parallel import map_shard
+
+        arena = self.arena
+        n = pending["n_shards"]
+        old = pending["partition"]
+        new_part = map_shard.partition_arena(arena, n)
+        pids = np.nonzero(arena.pt_valid[: arena.num_pts])[0]
+        report = {"points": int(len(pids)), "moved": 0, "migrated_ok": True}
+        if len(pids):
+            old_tab = old.owner_of_pt
+            in_old = pids < len(old_tab)
+            old_owner = np.where(
+                in_old, old_tab[np.minimum(pids, len(old_tab) - 1)], -1
+            )
+            new_owner = (new_part.owner_of_pt[pids] % n).astype(np.int32)
+            # rows currently live on their old-owner shard; points born after
+            # the old partition start on their new owner (nothing to move)
+            cur_owner = np.where(old_owner >= 0, old_owner % n, new_owner)
+            moved = cur_owner != new_owner
+            report["moved"] = int(moved.sum())
+            if moved.any():
+                # re-deal only the MOVED (pid, pos) rows; capacity covers the
+                # worst of the source and destination shard loads
+                mv = np.nonzero(moved)[0]
+                src, dst = cur_owner[mv], new_owner[mv]
+                load = np.maximum(
+                    np.bincount(src, minlength=n), np.bincount(dst, minlength=n)
+                )
+                R = _next_pow2(int(load.max()))
+                rows = np.zeros((n * R, 4), np.float32)
+                mask = np.zeros(n * R, bool)
+                dest = np.zeros(n * R, np.int32)
+                order = np.argsort(src, kind="stable")
+                so = src[order]
+                local = np.arange(len(mv)) - np.searchsorted(so, so)
+                gidx = so * R + local
+                rows[gidx, 0] = pids[mv][order].astype(np.float32)
+                rows[gidx, 1:4] = arena.pt_pos[pids[mv][order]]
+                mask[gidx] = True
+                dest[gidx] = dst[order]
+                rows2, mask2 = map_shard.migrate_points(self.mesh, rows, mask, dest)
+                # verify each live row landed on the shard that now owns it
+                got = np.nonzero(mask2)[0]
+                landed_shard = got // R
+                landed_pid = rows2[got, 0].astype(np.int64)
+                owner_tab = np.full(arena.num_pts, -1, np.int32)
+                owner_tab[pids] = new_owner
+                ok = bool(
+                    (owner_tab[landed_pid] == landed_shard).all()
+                    and mask2.sum() == mask.sum()
+                )
+                report["migrated_ok"] = ok
+        self.partition = new_part
+        report.update(new_part.stats())
+        self.last_report["migration"] = report
 
     # ------------------------------------------------------------------ pose graph
 

@@ -68,6 +68,52 @@ class DeviceTrackState(NamedTuple):
 SUMMARY_LEN = 24
 
 
+def _pack_payload(arrays):
+    """Concat a list of device arrays into ONE uint32 buffer (bitcast, not
+    convert). The dev tunnel charges ~28-36 ms of RPC latency PER FETCHED
+    ARRAY (jax.device_get maps leaves to separate gets); the r4 steady-state
+    profile measured 1531 leaf fetches = ~43 s of a 62 s wall. Packing the
+    whole drain payload device-side makes the consolidated fetch genuinely
+    one RPC."""
+    parts = []
+    for a in arrays:
+        if a.dtype == jnp.uint32:
+            parts.append(a.ravel())
+        elif a.dtype == jnp.bool_:
+            parts.append(a.astype(jnp.uint32).ravel())
+        elif a.dtype in (jnp.float32, jnp.int32):
+            parts.append(jax.lax.bitcast_convert_type(a, jnp.uint32).ravel())
+        else:  # f64/i64 results never ride the drain; cast defensively
+            parts.append(
+                jax.lax.bitcast_convert_type(
+                    a.astype(jnp.float32), jnp.uint32
+                ).ravel()
+            )
+    return jnp.concatenate([p.reshape(-1) for p in parts])
+
+
+def _unpack_payload(buf: np.ndarray, handles) -> list:
+    """Split the fetched uint32 buffer back into host arrays matching each
+    handle's shape/dtype (numpy views — no copies beyond the bool cast)."""
+    out = []
+    off = 0
+    for h in handles:
+        n = int(np.prod(h.shape)) if h.ndim else 1
+        seg = buf[off: off + n]
+        off += n
+        dt = h.dtype
+        if dt == jnp.uint32:
+            arr = seg
+        elif dt == jnp.bool_:
+            arr = seg.astype(bool)
+        elif dt == jnp.int32:
+            arr = seg.view(np.int32)
+        else:
+            arr = seg.view(np.float32)
+        out.append(arr.reshape(h.shape) if h.ndim else arr.reshape(())[()])
+    return out
+
+
 class FrameRecord:
     __slots__ = ["frame_id", "timestamp", "pose", "lost", "ref_kf", "rel_pose"]
 
@@ -81,8 +127,15 @@ class FrameRecord:
 
 
 class StereoTracker:
-    MIN_INIT_FEATURES = 500  # reference: stereo init needs > 500 features (tracker.cpp:251)
-    MIN_INIT_STEREO = 250    # and a healthy number of actual stereo depths
+    @property
+    def MIN_INIT_FEATURES(self) -> int:
+        """Stereo init needs > 500 features (tracker.cpp:251) — config-surfaced."""
+        return self.cfg.tracker.min_init_features
+
+    @property
+    def MIN_INIT_STEREO(self) -> int:
+        """...and a healthy number of actual stereo depths — config-surfaced."""
+        return self.cfg.tracker.min_init_stereo
     MAX_KFS_PER_CHUNK = 1    # keyframe budget per drained chunk
 
     def __init__(self, cfg: SlamConfig, arena: Optional[MapArena] = None, sync_every: int = 4,
@@ -136,6 +189,13 @@ class StereoTracker:
         self._buf = []                # buffered (left, right, frame_id, ts) awaiting dispatch
         self._pending = []            # [(ids, tss, summaries, packs, descs, vis, found, block_ids)]
         self._pending_remap = None    # block ids awaiting device-state remap
+        # Auxiliary fetch sources (e.g. the loop closer's in-flight BoW
+        # transform): objects exposing aux_handles() -> list of device arrays
+        # (or None) and aux_deliver(host_arrays). Their results ride the
+        # consolidated drain RPC instead of blocking mid-_process behind the
+        # in-flight chunk (~150 ms per stray fetch on the dev tunnel).
+        self.aux_fetch: list = []
+        self._ph_cache: dict = {}  # zero placeholders for fixed-slot payloads
         # jitted programs are SHARED across same-config tracker instances
         # (utils/progcache.py): they close over config-derived state only, and
         # per-instance jax.jit wrappers forced the bench's timed system (and any
@@ -488,39 +548,126 @@ class StereoTracker:
         # (cProfile: _create_keyframe 256 ms/KF, ~80% in that device_get).
         fetch = [summaries_dev, vis_dev, found_dev, packs_dev, descs_dev]
         ba_handles = self.local_mapper.ba_handles()
-        if ba_handles is not None:
-            fetch += ba_handles
-        tri_handles = self.local_mapper.tri_handles()
-        if tri_handles is not None:
+        tri_handles = self.local_mapper.tri_handles() or []
+        fuse_handles = self.local_mapper.fuse_handles() or []
+        aux_handles = [src.aux_handles() for src in self.aux_fetch]
+
+        # Fixed-slot composition: absent/short components are padded with
+        # cached zero placeholders so the packed-payload program keeps ONE
+        # compiled signature per chunk shape (each new signature costs a
+        # ~50 s remote compile, once per persistent-cache lifetime). The
+        # padding costs bytes (~100-350 KB) but zero extra RPCs.
+        cap = self.cfg.capacity
+        Fn = self.arena.kf_xy.shape[1]
+        Nn = self.cfg.mapping.triangulation_neighbors
+        slots = self.max_kfs_per_chunk
+        k_tri = len(tri_handles) // 4
+        k_fuse = len(fuse_handles)
+        pad_ok = k_tri <= slots and k_fuse <= slots
+        if pad_ok:
+            fetch += ba_handles if ba_handles is not None else (
+                self._ph((cap.ba_cams, 4, 4), np.float32)
+                + self._ph((cap.ba_points, 3), np.float32)
+                + self._ph((cap.ba_obs,), np.bool_)
+                + self._ph((), np.float32)
+            )
             fetch += tri_handles
-        fuse_handles = self.local_mapper.fuse_handles()
-        if fuse_handles is not None:
+            for _ in range(slots - k_tri):
+                fetch += (
+                    self._ph((Fn,), np.int32) + self._ph((Fn,), np.int32)
+                    + self._ph((Fn, 3), np.float32) + self._ph((Fn,), np.bool_)
+                )
             fetch += fuse_handles
-        with self.timers.time("drain/queue_wait"):
-            # 1-RPC probe splitting the blocking get into device-wait vs
-            # payload-transfer. Dispatch order varies: mapper handles enqueue
-            # AFTER this chunk on pipelined boundaries but BEFORE it on the
-            # serial-after-keyframe boundary — so probe one leaf of the
-            # chunk's own output AND one of the last appended handle (a
-            # single device_get blocks until both are settled; in-order
-            # execution then guarantees every fetched handle is too).
-            probes = [jax.tree_util.tree_leaves(fetch[0])[-1].ravel()[:1]]
-            if len(fetch) > 5:
-                probes.append(jax.tree_util.tree_leaves(fetch[-1])[-1].ravel()[:1])
-            jax.device_get(probes)
-        with self.timers.time("drain/device_get"):
-            fetched = jax.device_get(fetch)
+            for _ in range(slots - k_fuse):
+                fetch += self._ph((Nn, Fn), np.int32)
+            for src, h in zip(self.aux_fetch, aux_handles):
+                if h:
+                    fetch += h
+                else:
+                    tmpl = getattr(src, "aux_templates", lambda: [])()
+                    for shape, dtype in tmpl:
+                        fetch += self._ph(tuple(shape), dtype)
+        else:  # overfull pendings: variable composition, compiles once
+            if ba_handles is not None:
+                fetch += ba_handles
+            fetch += tri_handles + fuse_handles
+            for h in aux_handles:
+                if h:
+                    fetch += h
+
+        fetched = self._fetch_arrays(fetch)
         summaries, vis, found, packs, descs = fetched[:5]
         rest = fetched[5:]
-        ba_data = None
-        if ba_handles is not None:
-            ba_data, rest = rest[: len(ba_handles)], rest[len(ba_handles):]
-        tri_data = None
-        if tri_handles is not None:
-            tri_data, rest = rest[: len(tri_handles)], rest[len(tri_handles):]
-        fuse_data = rest if fuse_handles is not None else None
+
+        def take(n_real: int, n_padded: int):
+            nonlocal rest
+            vals, rest = rest[:n_real], rest[n_padded:]
+            return vals
+
+        if pad_ok:
+            ba_data = take(4, 4) if ba_handles is not None else take(0, 4)
+            tri_data = take(4 * k_tri, 4 * slots)
+            fuse_data = take(k_fuse, slots)
+            for src, h in zip(self.aux_fetch, aux_handles):
+                if h:
+                    src.aux_deliver(take(len(h), len(h)))
+                else:
+                    tmpl = getattr(src, "aux_templates", lambda: [])()
+                    take(0, len(tmpl))
+        else:
+            ba_data = take(4, 4) if ba_handles is not None else None
+            tri_data = take(4 * k_tri, 4 * k_tri)
+            fuse_data = take(k_fuse, k_fuse)
+            for src, h in zip(self.aux_fetch, aux_handles):
+                if h:
+                    src.aux_deliver(take(len(h), len(h)))
+        ba_data = ba_data or None
+        tri_data = tri_data or None
+        fuse_data = fuse_data or None
         return (fids, tss, summaries, vis, found, packs, descs, block_ids,
                 ba_data, tri_data, fuse_data, packs_dev, descs_dev)
+
+    def _ph(self, shape, dtype) -> list:
+        """Cached zero placeholder device array for fixed-slot payload padding."""
+        key = (shape, np.dtype(dtype).str)
+        buf = self._ph_cache.get(key)
+        if buf is None:
+            buf = jnp.zeros(shape, dtype)
+            self._ph_cache[key] = buf
+        return [buf]
+
+    def _fetch_arrays(self, handles: list) -> list:
+        """Blocking fetch of a list of device arrays with ONE tunnel RPC: a
+        tiny jitted program bitcast-concats everything into a single uint32
+        buffer (the tunnel charges ~30 ms latency PER ARRAY otherwise — the
+        r4 profile's dominant cost). Falls back to per-array gets when the
+        handles span devices (multi-chip mapper offload)."""
+        devs = set()
+        for h in handles:
+            try:
+                devs |= h.devices()
+            except Exception:
+                devs.add(object())  # unknown placement: force fallback
+        if len(devs) == 1:
+            sig = tuple((tuple(h.shape), str(h.dtype)) for h in handles)
+            packer = progcache.shared_jit(
+                ("payload_pack", sig), lambda: jax.jit(_pack_payload)
+            )
+            buf_dev = packer(handles)
+            with self.timers.time("drain/queue_wait"):
+                # 1-element probe of the packer output (the last-enqueued
+                # program by construction): splits device-wait from transfer
+                jax.device_get(buf_dev[:1])
+            with self.timers.time("drain/device_get"):
+                buf = jax.device_get(buf_dev)
+            return _unpack_payload(buf, handles)
+        with self.timers.time("drain/queue_wait"):
+            probes = [jax.tree_util.tree_leaves(handles[0])[-1].ravel()[:1]]
+            if len(handles) > 5:
+                probes.append(jax.tree_util.tree_leaves(handles[-1])[-1].ravel()[:1])
+            jax.device_get(probes)
+        with self.timers.time("drain/device_get"):
+            return jax.device_get(handles)
 
     def _process(self, raw) -> None:
         """Host-side bookkeeping for one fetched chunk: records, lost detection,

@@ -47,7 +47,13 @@ class SlamSystem:
     RESET_IF_LOST_BELOW_KFS = 5  # tracker.cpp:613-620
 
     def __init__(self, cfg: Optional[SlamConfig] = None, config_path: Optional[str] = None,
-                 sensor: Optional[str] = None, sync_every: int = 4):
+                 sensor: Optional[str] = None, sync_every: int = 4, mesh=None):
+        """mesh: optional jax.sharding.Mesh. With > 1 device, the post-loop
+        global BA runs as a sharded SPMD program over it (owner-keyed
+        covisibility segments, parallel/{dist_ba,map_shard}.py) and point
+        ownership migrates after each merge — the distributed backend wired
+        into the live system the way the reference wires its concurrency at
+        construction (slam_system.cpp:49-82)."""
         if cfg is None:
             if config_path is None:
                 raise ValueError("provide cfg or config_path")
@@ -58,6 +64,7 @@ class SlamSystem:
             cfg = dataclasses.replace(cfg, sensor=sensor)
         self.cfg = cfg
         self.sync_every = sync_every
+        self.mesh = mesh
         self.vocab: Optional[bow_vocab.Vocabulary] = None
         vocab_path = cfg.vocabulary_path or _shipped_vocabulary()
         if vocab_path:
@@ -204,7 +211,14 @@ class SlamSystem:
         self.loop_closer = LoopCloser(
             self.cfg, self.arena, K, self.vocab,
             kf_store=self.tracker.local_mapper.kf_store,
+            mesh=self.mesh,
         )
+        # the loop closer's in-flight BoW rides the tracker's drain RPC
+        # (drop a stale instance first: online vocab training rebuilds us)
+        self.tracker.aux_fetch = [
+            s for s in self.tracker.aux_fetch if not isinstance(s, LoopCloser)
+        ]
+        self.tracker.aux_fetch.append(self.loop_closer)
 
         def _forget(k: int) -> None:
             self.loop_closer.db.erase(k)
