@@ -22,11 +22,28 @@ import jax as _jax
 if not _os.environ.get("SLAM_TPU_NO_COMPILE_CACHE"):
     import platform as _platform
 
-    # scope by hostname: CPU AOT artifacts embed the compile machine's ISA
-    # features and other hosts refuse/warn on load
+    # Scope by hostname AND a CPU-feature fingerprint: CPU AOT artifacts embed
+    # the compile machine's ISA features, and loading one compiled elsewhere
+    # can hard-abort the process (observed: SIGABRT in
+    # compilation_cache.get_executable_and_time on entries carrying
+    # +prefer-no-scatter from a different microarchitecture — containers can
+    # share a nodename across machine types, so the hostname alone is not
+    # enough).
+    def _cpu_fingerprint() -> str:
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = [l for l in f if l.startswith(("flags", "model name"))]
+            return hashlib.sha1("".join(sorted(set(flags))).encode()).hexdigest()[:8]
+        except OSError:
+            return "nocpuinfo"
+
     _cache_dir = _os.environ.get(
         "SLAM_TPU_COMPILE_CACHE",
-        _os.path.expanduser(f"~/.cache/slam_tpu_xla_{_platform.node()}"),
+        _os.path.expanduser(
+            f"~/.cache/slam_tpu_xla_{_platform.node()}_{_cpu_fingerprint()}"
+        ),
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

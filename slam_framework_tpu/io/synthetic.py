@@ -48,6 +48,15 @@ class _Surface:
     wrap: bool                # full-circle azimuth wrap vs clamped strip
     y_top: float = 0.0        # upper edge (min y; y points down) — cyl only
     y_bot: float = 0.0        # lower edge (max y) — cyl only
+    # Per-surface turn-circle center: multi-circuit worlds (figure-eight)
+    # have surfaces concentric with DIFFERENT arcs. None = the world's center.
+    center: Tuple[float, float] | None = None
+    # Azimuthal validity span from az0 (radians): hits outside pass through.
+    # A figure-eight's walls are opened around the crossing (az_span < 2*pi).
+    az_span: float = 2.0 * np.pi
+    # ground-annulus radial validity (ground only); None = the world's r_outer
+    r_lo: float | None = None
+    r_hi: float | None = None
 
 
 @dataclasses.dataclass
@@ -151,23 +160,27 @@ class SyntheticWorld:
         return np.clip(img, 0, 255).astype(np.uint8), depth
 
     def _hit_ground(self, o, d, dn, surf):
-        cx, cz = self.center
+        cx, cz = surf.center if surf.center is not None else self.center
+        r_lo = surf.r_lo if surf.r_lo is not None else (self.r_inner - 2.0)
+        r_hi = surf.r_hi if surf.r_hi is not None else (self.r_outer + 1.0)
         dy = d[1]
         t = np.where(np.abs(dy) > 1e-9, (self.ground_y - o[1]) / np.where(
             np.abs(dy) > 1e-9, dy, 1.0), np.float32(1e12))
         hx = o[0] + t * d[0]
         hz = o[2] + t * d[2]
         rho = np.sqrt((hx - cx) ** 2 + (hz - cz) ** 2)
-        ok = (t > _T_MIN) & (t < 1e11) & (rho <= self.r_outer + 1.0)
-        t = np.where(ok, t, np.inf)
+        ok = (t > _T_MIN) & (t < 1e11) & (rho >= r_lo) & (rho <= r_hi)
         az = np.arctan2(hz - cz, hx - cx)
-        px = _az_to_px(az, surf)
-        py = (rho - (self.r_inner - 2.0)) * surf.res
+        rel = np.mod(az - surf.az0, 2.0 * np.pi)
+        ok &= rel <= surf.az_span
+        t = np.where(ok, t, np.inf)
+        px = rel * surf.radius * surf.res
+        py = (rho - r_lo) * surf.res
         cos_inc = np.abs(dy) / dn
         return t, px, py, cos_inc
 
     def _hit_cylinder(self, o, d, dn, surf):
-        cx, cz = self.center
+        cx, cz = surf.center if surf.center is not None else self.center
         ox, oz = o[0] - cx, o[2] - cz
         a = d[0] * d[0] + d[2] * d[2]
         b = 2.0 * (d[0] * ox + d[2] * oz)
@@ -177,14 +190,25 @@ class SyntheticWorld:
         a_safe = np.maximum(a, 1e-12)
         t1 = (-b - sq) / (2.0 * a_safe)
         t2 = (-b + sq) / (2.0 * a_safe)
-        # wall is opaque from both sides: nearest intersection past _T_MIN
-        t = np.where(t1 > _T_MIN, t1, t2)
-        ok = (disc > 0.0) & (t > _T_MIN)
-        hy = o[1] + t * d[1]
-        ok &= (hy >= surf.y_top) & (hy <= surf.y_bot)
-        hx = o[0] + t * d[0]
-        hz = o[2] + t * d[2]
-        t = np.where(ok, t, np.inf)
+
+        # wall is opaque from both sides, but an intersection in the opened
+        # azimuth gap (figure-eight crossing) or outside the y band passes
+        # through — so both roots are candidates, nearest VALID wins
+        def _valid(t):
+            ok = (disc > 0.0) & (t > _T_MIN)
+            hy = o[1] + t * d[1]
+            ok &= (hy >= surf.y_top) & (hy <= surf.y_bot)
+            hx = o[0] + t * d[0]
+            hz = o[2] + t * d[2]
+            rel = np.mod(np.arctan2(hz - cz, hx - cx) - surf.az0, 2.0 * np.pi)
+            return ok & (rel <= surf.az_span)
+
+        ok1 = _valid(t1)
+        t = np.where(ok1, t1, np.where(_valid(t2), t2, np.inf))
+        ts = np.where(np.isfinite(t), t, 1.0)  # keep texture coords finite
+        hy = o[1] + ts * d[1]
+        hx = o[0] + ts * d[0]
+        hz = o[2] + ts * d[2]
         az = np.arctan2(hz - cz, hx - cx)
         px = _az_to_px(az, surf)
         py = (hy - surf.y_top) * surf.res
@@ -349,6 +373,14 @@ def make_world(
     az_hi = float(az.max() + margin)
     span = min(az_hi - az_lo, 2.0 * np.pi)
     wrap = span >= 2.0 * np.pi - 1e-9
+    if wrap:
+        # Anchor the wrapped strip's origin at the START azimuth, not at
+        # min(az) (= the num_frames-dependent trajectory END on these
+        # decreasing-azimuth arcs): worlds with the same seed and geometry
+        # then share the exact texture regardless of num_frames, so a longer
+        # run is a strict prefix-extension of a shorter one (tests rely on
+        # this to reason about perturbations like blackouts).
+        az_lo = float(az[0] - span)
 
     wall_res = 16.0    # texture px per meter
     ground_res = 16.0
@@ -385,6 +417,131 @@ def make_world(
         center=circle_center,
         r_inner=r_inner,
         r_outer=r_outer,
+        ground_y=ground_y,
+        wall_top=wall_top,
+        surfaces=surfaces,
+    )
+
+
+def make_figure_eight_world(
+    cam: CameraConfig | None = None,
+    seed: int = 0,
+    speed: float = 1.0,
+    lap_frames: int = 200,
+    num_frames: int | None = None,
+    corridor_half_width: float = 7.0,
+) -> SyntheticWorld:
+    """Figure-eight circuit: one lap around circle A (+yaw), one around the
+    tangent circle B (-yaw), then back onto A — producing TWO spatially
+    distinct loop-closure sites (the A-lap revisit near the crossing, then
+    the B-lap return to it after ~lap_frames of disjoint travel). Walls are
+    opened in an azimuth gap where the other corridor passes through the
+    crossing, like a road intersection. Multi-loop recall stress for the
+    loop closer (VERDICT r4 item 7); the reference's equivalent would be a
+    KITTI sequence with several revisits (e.g. seq 00)."""
+    cam = cam or CameraConfig()
+    rng = np.random.default_rng(seed)
+    if num_frames is None:
+        num_frames = 2 * lap_frames + lap_frames // 4
+
+    w = 2.0 * np.pi / lap_frames  # yaw per unit arc length at speed 1
+    hw = corridor_half_width
+    R_path = 1.0 / w
+    cA = np.array([R_path, 0.0])    # +yaw circle center (x, z)
+    cB = np.array([-R_path, 0.0])   # -yaw circle center
+
+    poses, ts, centers = [], [], []
+    yaw = 0.0
+    yaw_lap = 0.0
+    sgn = 1.0
+    center = np.zeros(3)
+    for f in range(num_frames):
+        R_wc = np.array(
+            [
+                [np.cos(yaw), 0, np.sin(yaw)],
+                [0, 1, 0],
+                [-np.sin(yaw), 0, np.cos(yaw)],
+            ]
+        )
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R_wc.T
+        T[:3, 3] = -R_wc.T @ center
+        poses.append(T)
+        centers.append(center.copy())
+        ts.append(f / cam.fps)
+        center = center + R_wc @ np.array([0.0, 0.0, speed])
+        yaw += sgn * w * speed
+        yaw_lap += w * speed
+        if yaw_lap >= 2.0 * np.pi - 1e-9:   # back at the crossing: switch circles
+            yaw_lap -= 2.0 * np.pi
+            sgn = -sgn
+
+    ground_y = 1.65
+    wall_top = -8.0
+    inner_top = -80.0
+    wall_res = 16.0
+    ground_res = 16.0
+
+    def _gap_interval(c_self, c_other, radius):
+        """Azimuth interval (around c_self) of the wall circle covered by the
+        OTHER corridor band — the stretch to leave open."""
+        th = np.linspace(-np.pi, np.pi, 4096)
+        P = c_self[None, :] + radius * np.stack([np.cos(th), np.sin(th)], 1)
+        rho = np.linalg.norm(P - c_other[None, :], axis=1)
+        blocked = np.abs(rho - R_path) < hw + 1.0
+        if not blocked.any():
+            return None
+        # contiguous interval around the crossing azimuth (the tangent point
+        # is at azimuth pi for A's walls, 0 for B's — i.e. toward the other
+        # center); rotate so it is contiguous in th
+        th_t = np.arctan2(c_other[1] - c_self[1], c_other[0] - c_self[0])
+        rel = np.mod(th - th_t + np.pi, 2.0 * np.pi) - np.pi
+        half = np.abs(rel[blocked]).max()
+        return th_t - half, th_t + half
+
+    surfaces = []
+    for c_self, c_other in ((cA, cB), (cB, cA)):
+        r_in = max(R_path - hw, 2.0)
+        r_out = R_path + hw
+        for radius, y_top in ((r_in, inner_top), (r_out, wall_top)):
+            gap = _gap_interval(c_self, c_other, radius)
+            if gap is None:
+                az0, span = -np.pi, 2.0 * np.pi
+                wrap = True
+            else:
+                az0 = gap[1]                       # strip starts after the gap
+                span = 2.0 * np.pi - (gap[1] - gap[0])
+                wrap = False
+            surfaces.append(
+                _Surface(
+                    kind="cyl", radius=radius,
+                    mips=_make_texture(rng, (ground_y - y_top) * wall_res,
+                                       span * radius * wall_res),
+                    res=wall_res, az0=az0, wrap=wrap,
+                    y_top=y_top, y_bot=ground_y,
+                    center=(float(c_self[0]), float(c_self[1])),
+                    az_span=span,
+                )
+            )
+        ground_h = (r_out - r_in + 4.0) * ground_res
+        surfaces.append(
+            _Surface(
+                kind="ground", radius=R_path,
+                mips=_make_texture(rng, ground_h, 2.0 * np.pi * R_path * ground_res,
+                                   waves=_GROUND_WAVES, contrast=0.30),
+                res=ground_res, az0=-np.pi, wrap=True,
+                center=(float(c_self[0]), float(c_self[1])),
+                r_lo=r_in - 2.0, r_hi=r_out + 1.0,
+            )
+        )
+
+    return SyntheticWorld(
+        cam=cam,
+        poses=np.stack(poses).astype(np.float32),
+        timestamps=np.asarray(ts),
+        center=cA,
+        r_inner=max(R_path - hw, 2.0),
+        r_outer=R_path + hw,
         ground_y=ground_y,
         wall_top=wall_top,
         surfaces=surfaces,

@@ -644,6 +644,25 @@ class LocalMapper:
             new_cam, new_pt, inlier, total_chi2 = jax.device_get(
                 [res.cam_pose, res.pt_pos, res.obs_inlier, res.total_chi2]
             )
+        m = pending["m"]
+        # Divergence guard: a BA whose chi2 classification rejects > 15% of
+        # the window's observations is not reporting outliers — it is
+        # reporting its own inconsistency (seen post-relocalization, where
+        # new keyframes couple to pre-blackout boundary cams: one such BA
+        # erased 527 of 2139 obs and starved tracking into a second loss;
+        # keeping the obs but applying the poses instead let the next BA drag
+        # the keyframes — equally fatal). Discard the whole result, like the
+        # reference aborts an interrupted BA (local_mapper.cpp:89-93).
+        n_bad = int((pending["obs_mask"][:m] & ~inlier[:m]).sum())
+        if m > 0 and n_bad > 0.15 * m:
+            self.last_ba_stats = {
+                "cams": len(pending["cams"]),
+                "fixed": int(pending["cam_fixed"][: len(pending["cams"])].sum()),
+                "points": len(pending["pid_set"]), "obs": m, "outliers": 0,
+                "aborted_divergent": n_bad, "chi2": float(total_chi2),
+            }
+            self.ba_aborts += 1
+            return
         # Write back free cameras and surviving points
         for i, c in enumerate(cams):
             if not cam_fixed[i] and arena.kf_valid[c]:
@@ -653,7 +672,8 @@ class LocalMapper:
 
         # Erase outlier observations (optimizer.cpp:670-704), vectorized: unbind
         # the feature rows, batch-remove the observations, then erase points
-        # starved below 2 observations.
+        # starved below 2 observations. (Mass rejection was already caught by
+        # the divergence guard above.)
         bad = np.nonzero(pending["obs_mask"][:m] & ~inlier[:m])[0]
         pi_flat, kf_flat, ft_flat = pending["pi_flat"], pending["kf_flat"], pending["ft_flat"]
         n_erased = 0

