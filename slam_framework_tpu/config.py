@@ -150,11 +150,14 @@ class LoopConfig:
     essential_graph_min_feat: int = 100
     essential_graph_iters: int = 20
     # Suppress a candidate covisibility group for this many keyframes after it
-    # fails Sim3/guided acceptance. The reference retries for free on its async
-    # LoopClosing thread; here each attempt costs a mapper drain + ~5 tunnel
-    # RPCs on the critical path (r4 steady profile: 52 attempts per closed
-    # loop). 0 disables (reference behavior).
-    sim3_fail_cooldown: int = 2
+    # fails Sim3/guided acceptance. Each attempt costs a mapper drain + ~5
+    # tunnel RPCs on the critical path (r4 steady profile: 52 attempts per
+    # closed loop), so a cooldown buys ~1 fps at bench scale — but the A/B on
+    # the bench circle measured it DELAYS the true closure enough to cost
+    # 0.44 -> 1.06 m ATE (SCALING.md r5 table). Default 0 = the reference's
+    # always-retry behavior (accuracy first); raise only where loop latency
+    # is cheaper than host time.
+    sim3_fail_cooldown: int = 0
     global_ba_iters: int = 10
     run_global_ba: bool = True            # loop_closer.cpp:685-690 spawns GBA
 

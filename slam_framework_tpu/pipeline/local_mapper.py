@@ -32,6 +32,10 @@ from slam_framework_tpu.utils.observability import StageTimers
 
 
 class LocalMapper:
+    # A BA whose chi2 pass rejects more than this fraction of the window's
+    # observations is discarded whole (see flush_ba); 1.0 disables the guard.
+    BA_DIVERGENCE_ABORT_FRAC = 0.15
+
     def __init__(self, cfg: SlamConfig, arena: MapArena, K: Intrinsics, timers=None):
         self.cfg = cfg
         self.arena = arena
@@ -654,7 +658,7 @@ class LocalMapper:
         # the keyframes — equally fatal). Discard the whole result, like the
         # reference aborts an interrupted BA (local_mapper.cpp:89-93).
         n_bad = int((pending["obs_mask"][:m] & ~inlier[:m]).sum())
-        if m > 0 and n_bad > 0.15 * m:
+        if m > 0 and n_bad > self.BA_DIVERGENCE_ABORT_FRAC * m:
             self.last_ba_stats = {
                 "cams": len(pending["cams"]),
                 "fixed": int(pending["cam_fixed"][: len(pending["cams"])].sum()),

@@ -389,10 +389,19 @@ class LoopCloser:
         self.db.add(kf, bow)
         if not candidates:
             return False
-        if pre_close is not None:
-            pre_close()
+        # First pass WITHOUT draining the mapper: Sim3 RANSAC + guided
+        # acceptance tolerate one-local-BA of pose/point staleness (mm-cm
+        # against the RANSAC's own noise), and on the bench ~50 consistent
+        # candidate sets FAIL here per closed loop — each pre_close() costs a
+        # blocking fetch of the in-flight BA/tri/fuse pendings (~100-300 ms).
+        # Only a PASSING candidate pays the drain, and is then re-verified +
+        # corrected on settled state (the reference's CorrectLoop stops the
+        # mapper only after ComputeSim3 accepts — loop_closer.cpp:501-524).
         self.n_sim3_attempts += 1
         cand = self._compute_sim3(kf, candidates)
+        if cand is not None and pre_close is not None:
+            pre_close()  # settle the map, then re-verify on it
+            cand = self._compute_sim3(kf, [cand.kf])
         if cand is None:
             # start the failure cooldown for every attempted candidate group
             arena = self.arena

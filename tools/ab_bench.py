@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     variant = sys.argv[1] if len(sys.argv) > 1 else "baseline"
+    # combos compose with '+': e.g. sync=16+free_kf
+    parts = variant.split("+")
 
     import dataclasses
 
@@ -41,27 +43,28 @@ def main() -> int:
     depth = 2
     kf_budget = None  # None = frame-scaled default
 
-    if variant.startswith("sync="):
-        sync = int(variant.split("=")[1])
-    elif variant.startswith("depth="):
-        depth = int(variant.split("=")[1])
-    elif variant.startswith("smooth="):
-        cfg = dataclasses.replace(cfg, tracker=dataclasses.replace(
-            cfg.tracker, velocity_rotation_smoothing=float(variant.split("=")[1])))
-    elif variant.startswith("ba_iters="):
-        a, b = variant.split("=")[1].split(",")
-        cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
-            cfg.mapping, local_ba_iters_first=int(a), local_ba_iters_second=int(b)))
-    elif variant.startswith("kf_budget="):
-        kf_budget = int(variant.split("=")[1])
-    elif variant in ("serial_kf", "free_kf"):
-        pass  # applied on the tracker below
-    elif variant == "no_cull":
-        cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
-            cfg.mapping, cull_keyframes=False))
-    elif variant != "baseline":
-        print(f"unknown variant {variant}", file=sys.stderr)
-        return 2
+    for part in parts:
+        if part.startswith("sync="):
+            sync = int(part.split("=")[1])
+        elif part.startswith("depth="):
+            depth = int(part.split("=")[1])
+        elif part.startswith("smooth="):
+            cfg = dataclasses.replace(cfg, tracker=dataclasses.replace(
+                cfg.tracker, velocity_rotation_smoothing=float(part.split("=")[1])))
+        elif part.startswith("ba_iters="):
+            a, b = part.split("=")[1].split(",")
+            cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
+                cfg.mapping, local_ba_iters_first=int(a), local_ba_iters_second=int(b)))
+        elif part.startswith("kf_budget="):
+            kf_budget = int(part.split("=")[1])
+        elif part in ("serial_kf", "free_kf"):
+            pass  # applied on the tracker below
+        elif part == "no_cull":
+            cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
+                cfg.mapping, cull_keyframes=False))
+        elif part != "baseline":
+            print(f"unknown variant {part}", file=sys.stderr)
+            return 2
 
     n_frames = 330
     world = synthetic.make_world(
@@ -77,7 +80,7 @@ def main() -> int:
     def build():
         s = SlamSystem(cfg, sync_every=sync)
         s.tracker.pipeline_depth = depth
-        if variant == "free_kf":
+        if "free_kf" in parts:
             # serial_after_keyframe=True is the tracker default, so the A/B's
             # informative arm is turning it OFF (free pipelining across KFs)
             s.tracker.serial_after_keyframe = False

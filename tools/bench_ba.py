@@ -184,6 +184,7 @@ def main() -> int:
     import jax
 
     if args.cpu:
+        os.environ.setdefault("SLAM_TPU_NO_COMPILE_CACHE", "1")  # CPU AOT cache loader is crash-prone
         jax.config.update("jax_platform_name", "cpu")
 
     from slam_framework_tpu.optim import global_ba
@@ -192,14 +193,21 @@ def main() -> int:
     prob, K, poses_gt, pts_gt, m = make_problem(args.kfs, args.pts, args.obs_per_pt)
     n_lm = args.iters[0] + args.iters[1]
 
-    def bench_at(n_devices: int) -> dict:
+    def bench_at(n_devices: int, owner_keyed: bool = False) -> dict:
         if n_devices > 1:
             from jax.sharding import Mesh
 
             devs = jax.devices()[:n_devices]
             assert len(devs) == n_devices, f"only {len(devs)} devices available"
             mesh = Mesh(np.array(devs), ("ba",))
-            sharded = dist_ba.shard_problem(prob, n_devices)
+            owner = None
+            if owner_keyed:
+                # map-block (covisibility-segment) deal: contiguous point
+                # ranges per shard, the layout the live system's sharded GBA
+                # uses (parallel/map_shard.py + loop_closer)
+                n_live = int(np.asarray(prob.pt_mask).sum())
+                owner = (np.arange(n_live, dtype=np.int64) * n_devices) // max(n_live, 1)
+            sharded = dist_ba.shard_problem(prob, n_devices, owner=owner)
 
             def run():
                 return dist_ba.optimize_global_sharded(
@@ -237,6 +245,7 @@ def main() -> int:
             "config": {
                 "kfs": args.kfs, "pts": args.pts, "obs": m,
                 "devices": n_devices, "lm_iters": n_lm, "cg_iters": args.cg_iters,
+                "layout": "owner_keyed" if owner_keyed else "round_robin",
             },
             "wall_s": round(dt, 3),
             "obs_iters_per_sec": round(m * n_lm / dt, 0),
@@ -259,6 +268,15 @@ def main() -> int:
             print(json.dumps({
                 "metric": "ba_scaling_efficiency", "devices": nd,
                 "value": round(eff, 3), "unit": "fraction_of_linear",
+            }))
+        # the live system's owner-keyed (map-block) layout at full width:
+        # same math, segment-contiguous deal (VERDICT r4 item 4)
+        if args.devices > 1:
+            r = bench_at(args.devices, owner_keyed=True)
+            print(json.dumps({
+                "metric": "ba_map_shard_vs_roundrobin", "devices": args.devices,
+                "value": round(r["value"] / results[-1]["value"], 3),
+                "unit": "throughput_ratio",
             }))
     else:
         bench_at(args.devices)

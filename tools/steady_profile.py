@@ -33,6 +33,7 @@ def main() -> int:
     ap.add_argument("--sync", type=int, default=8)
     ap.add_argument("--frames", type=int, default=330)
     ap.add_argument("--cprofile", action="store_true")
+    ap.add_argument("--metrics", default=None, help="dump metrics JSONL here")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +103,8 @@ def main() -> int:
         "stages": stages,
     }
     print(json.dumps(report, indent=1))
+    if args.metrics:
+        system.dump_metrics(args.metrics)
     if prof is not None:
         import pstats
 

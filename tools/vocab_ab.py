@@ -65,6 +65,7 @@ def run_one(use_shipped: bool, n_frames: int, gt_radius: float):
     try:
         sys_ = SlamSystem(cfg, sync_every=2)
         events = []  # (n_cands, n_gt_pos, gt_available)
+        pair_dists = []  # GT distance of every retrieved candidate pair
 
         def record_detection(kf, candidates):
             arena = sys_.arena
@@ -73,8 +74,9 @@ def run_one(use_shipped: bool, n_frames: int, gt_radius: float):
             pos = 0
             for c in candidates:
                 fid_c = int(arena.kf_frame_id[c])
-                if (np.linalg.norm(gt_centers[fid_c] - cq) < gt_radius
-                        and fid_q - fid_c > 50):
+                d = float(np.linalg.norm(gt_centers[fid_c] - cq))
+                pair_dists.append(d)
+                if d < gt_radius and fid_q - fid_c > 50:
                     pos += 1
             # was a GT positive available in the database at all?
             avail = False
@@ -127,6 +129,17 @@ def run_one(use_shipped: bool, n_frames: int, gt_radius: float):
             "precision": round(n_pos / n_cand, 3) if n_cand else None,
             "revisit_kfs_with_gt": n_avail,
             "revisit_recall": round(n_hit / n_avail, 3) if n_avail else None,
+            "cand_gt_dist_m": {
+                "p10": round(float(np.percentile(pair_dists, 10)), 1),
+                "p50": round(float(np.percentile(pair_dists, 50)), 1),
+                "p90": round(float(np.percentile(pair_dists, 90)), 1),
+            } if pair_dists else None,
+            "precision_at": {
+                str(r): round(
+                    sum(1 for d in pair_dists if d < r) / len(pair_dists), 3
+                )
+                for r in (6, 10, 15, 25)
+            } if pair_dists else None,
         }
     finally:
         system_mod._shipped_vocabulary = shipped
