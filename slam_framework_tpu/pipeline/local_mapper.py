@@ -103,11 +103,13 @@ class LocalMapper:
         # silent-cap visibility (VERDICT r2 Weak #6): count + log every time a
         # fixed-capacity window truncates what the reference would have kept
         self.cap_clips: dict = {}
-        self._ba_pending = None
         # Lists: a chunk can promote several keyframes; each appends its async
-        # triangulation/fuse dispatch and ALL of them land at the next drain
-        # (blocking on a just-dispatched result mid-chunk costs ~200 ms behind
-        # the in-flight tracking chunk — the r4 cProfile's biggest host item).
+        # local-BA/triangulation/fuse dispatch and ALL of them land at the next
+        # drain (blocking on a just-dispatched result mid-chunk costs ~200 ms
+        # behind the in-flight tracking chunk — the r4 cProfile's biggest host
+        # item). BA pendings apply FIFO, so a same-chunk second keyframe's BA
+        # refines on top of the first's write-back.
+        self._ba_pendings = []   # [dict] in-flight local BAs awaiting apply
         self._tri_pending = []   # [(kf, nbr_ids, device result)] awaiting apply
         self._fuse_pending = []  # [(nbr_ids, pids_pad, device result)] awaiting apply
         self.ba_aborts = 0  # BA results discarded on newer-keyframe arrival
@@ -118,7 +120,8 @@ class LocalMapper:
     # ------------------------------------------------------------------ main entry
 
     def process_keyframe(
-        self, kf: int, prefetched_ba=None, prefetched_tri=None, prefetched_fuse=None
+        self, kf: int, prefetched_ba=None, prefetched_tri=None, prefetched_fuse=None,
+        defer_queue=None,
     ) -> None:
         """ProcessNewKeyFrame + culling + triangulation + local BA + KF culling
         (the LocalMapper::Run loop, local_mapper.cpp:27-87).
@@ -163,24 +166,43 @@ class LocalMapper:
                     self.apply_pending_triangulation(prefetched=prefetched_tri)
                 if prefetched_ba is not None or ba_mode == "block":
                     self.flush_ba(prefetched=prefetched_ba)
-                elif self._ba_pending is not None:
-                    self._ba_pending = None
-                    self.ba_aborts += 1
+                elif self._ba_pendings:
+                    self.ba_aborts += len(self._ba_pendings)
+                    self._ba_pendings = []
+        # Point culling stays on the critical path: the tracker's local-block
+        # rebuild (right after this call) must not re-admit points this
+        # keyframe's evidence just condemned (deferring it raised post-loop
+        # ATE 0.502 -> 0.536 on the circle e2e). It is cheap vectorized numpy.
         with self.timers.time("mapper/cull_points"):
             self._cull_points(kf)
-        if self.cfg.mapping.triangulate_new_points:
-            with self.timers.time("mapper/triangulate"):
-                pending = self._dispatch_triangulation(kf)
-                if pending is not None:
-                    if lazy:
-                        self._tri_pending.append((kf,) + pending)
-                    else:
-                        self._apply_triangulation(kf, *pending)
-        with self.timers.time("mapper/ba_dispatch"):
-            self._local_ba(kf)
-        if self.cfg.mapping.cull_keyframes:
-            with self.timers.time("mapper/cull_keyframes"):
-                self._cull_keyframes(kf)
+
+        def _heavy_stage() -> None:
+            # Triangulation/fusion dispatch + local-BA dispatch + keyframe
+            # culling — the heavy per-keyframe host work (problem assembly is
+            # numpy over the full observation window) that does NOT have to
+            # precede the tracker's local-block rebuild. When deferred (via
+            # defer_queue), it runs AFTER the tracker dispatched its next
+            # chunk, overlapping this host work with device compute — the
+            # reference runs this entire stage on a separate mapping thread
+            # for the same reason (local_mapper.cpp:27-87).
+            if self.cfg.mapping.triangulate_new_points:
+                with self.timers.time("mapper/triangulate"):
+                    pending = self._dispatch_triangulation(kf)
+                    if pending is not None:
+                        if lazy:
+                            self._tri_pending.append((kf,) + pending)
+                        else:
+                            self._apply_triangulation(kf, *pending)
+            with self.timers.time("mapper/ba_dispatch"):
+                self._local_ba(kf)
+            if self.cfg.mapping.cull_keyframes:
+                with self.timers.time("mapper/cull_keyframes"):
+                    self._cull_keyframes(kf)
+
+        if defer_queue is not None and lazy:
+            defer_queue.append(("mapper", _heavy_stage))
+        else:
+            _heavy_stage()
 
     def finalize(self) -> None:
         """Drain all in-flight device work into the arena (pending fuse +
@@ -616,28 +638,39 @@ class LocalMapper:
             pt_obs_slots=put(pt_slots),
         )
         res = self._jit_ba(prob)  # ASYNC dispatch — results land at flush_ba()
-        self._ba_pending = {
+        self._ba_pendings.append({
             "res": res, "cams": cams, "cam_fixed": cam_fixed, "pid_set": pid_set,
             "obs_mask": obs_mask, "m": m, "pi_flat": pi_flat,
             "kf_flat": kf_flat, "ft_flat": ft_flat,
-        }
+        })
 
     def ba_handles(self):
-        """Device arrays of the in-flight BA result, or None — callers can fold
-        these into an existing device_get to save one blocking round-trip, then
-        pass the fetched values to flush_ba(prefetched=...)."""
-        if getattr(self, "_ba_pending", None) is None:
+        """Device arrays of the in-flight BA results (4 per pending, FIFO), or
+        None — callers can fold these into an existing device_get to save
+        blocking round-trips, then pass the fetched values to
+        flush_ba(prefetched=...)."""
+        if not self._ba_pendings:
             return None
-        res = self._ba_pending["res"]
-        return [res.cam_pose, res.pt_pos, res.obs_inlier, res.total_chi2]
+        out = []
+        for p in self._ba_pendings:
+            res = p["res"]
+            out += [res.cam_pose, res.pt_pos, res.obs_inlier, res.total_chi2]
+        return out
 
     def flush_ba(self, prefetched=None) -> None:
-        """Fetch + write back the in-flight local BA (if any). Must run before any
-        consumer that needs settled poses/points (loop closer, export, next BA)."""
-        pending = getattr(self, "_ba_pending", None)
-        if pending is None:
-            return
-        self._ba_pending = None
+        """Fetch + write back ALL in-flight local BAs (FIFO). Must run before
+        any consumer that needs settled poses/points (loop closer, export).
+        prefetched, when given, is the flat drain-RPC payload: 4 arrays per
+        pending, in ba_handles() order; pendings dispatched AFTER that snapshot
+        fall back to a direct fetch."""
+        pendings, self._ba_pendings = self._ba_pendings, []
+        for i, pending in enumerate(pendings):
+            grp = None
+            if prefetched is not None and 4 * (i + 1) <= len(prefetched):
+                grp = prefetched[4 * i : 4 * i + 4]
+            self._apply_ba(pending, grp)
+
+    def _apply_ba(self, pending, prefetched=None) -> None:
         arena = self.arena
         res = pending["res"]
         cams, cam_fixed = pending["cams"], pending["cam_fixed"]

@@ -153,16 +153,14 @@ class StereoTracker:
         # keyframe decision / local-block refresh (bounded-staleness design,
         # module docstring). Depth 1 = the round-1 fully-serial behavior.
         self.pipeline_depth = max(1, pipeline_depth)
-        # Serialize the chunk boundary right after a keyframe: the rebuilt
-        # local block then enters tracking with serial latency, at the cost of
-        # an unpipelined (full device round-trip) chunk per keyframe. False =
-        # the remap rides the device stream between in-flight chunks
-        # (_remap_program composes with any depth) and the block refresh lags
-        # one extra chunk. With the r4 drain-lagged mapper write-backs, that
-        # extra lag measurably starves tracking on the bench circle (inliers
-        # 467->98, 40 frames lost by frame 160); serialized keeps the map
-        # fresh (0 lost, inliers ~190 steady) for one chunk's worth of
-        # latency per keyframe. Default True — accuracy first.
+        # Historical knob (r4): True serialized the chunk boundary after every
+        # keyframe so the rebuilt local block entered tracking fresh, at the
+        # cost of one unpipelined chunk per keyframe (~78% of wall went to
+        # host/tunnel at 76 KFs/330 frames). The r5 pipelined order —
+        # fetch -> process-critical -> dispatch(+remap) -> deferred mapper
+        # work — provides the SAME block freshness on every chunk (the remap
+        # always precedes the next dispatch), so nothing forces depth 1
+        # anymore and this flag is vestigial. Kept for A/B-tool compatibility.
         self.serial_after_keyframe = True
         # Keyframe budget per drained chunk scales with chunk length so the
         # keyframe CADENCE is set in frames (the reference's rule,
@@ -189,6 +187,9 @@ class StereoTracker:
         self._buf = []                # buffered (left, right, frame_id, ts) awaiting dispatch
         self._pending = []            # [(ids, tss, summaries, packs, descs, vis, found, block_ids)]
         self._pending_remap = None    # block ids awaiting device-state remap
+        self._deferred = []           # [(kind, fn)] per-keyframe heavy host work
+        #   queued during pipelined _process and executed after the next chunk
+        #   dispatches (see _run_deferred) so it overlaps device compute
         # Auxiliary fetch sources (e.g. the loop closer's in-flight BoW
         # transform): objects exposing aux_handles() -> list of device arrays
         # (or None) and aux_deliver(host_arrays). Their results ride the
@@ -229,15 +230,12 @@ class StereoTracker:
     def _current_depth(self) -> int:
         """Pipeline depth: serial (1) while the map is young — a bootstrap-age
         map starves under the extra chunk of local-block staleness (measured:
-        LOST within 30 frames at depth 2 from cold start) — and serial right
-        after a keyframe, so the rebuilt local block enters tracking with the
-        serial path's latency (measured: pipelining across keyframe chunks
-        starves the block on fast-optic-flow scenes). Chunks that created no
-        keyframe changed nothing the in-flight chunk depends on, so they
-        pipeline freely."""
+        LOST within 30 frames at depth 2 from cold start). Mature-map chunks
+        always pipeline: the fetch->process-critical->dispatch->deferred order
+        applies the post-keyframe remap BEFORE the next chunk dispatches, so
+        the rebuilt block enters tracking with the serial path's freshness
+        while the heavy per-keyframe host work overlaps device compute."""
         if self.arena.n_valid_kfs < self.MATURE_MAP_KFS:
-            return 1
-        if self._pending_remap is not None and self.serial_after_keyframe:
             return 1
         return self.pipeline_depth
 
@@ -459,20 +457,25 @@ class StereoTracker:
                 with self.timers.time("dispatch"), trace_span("tracker/dispatch"):
                     self._dispatch()
             elif self._current_depth() > 1:
-                # Fetch-then-dispatch-then-process: block on chunk i's results,
-                # IMMEDIATELY enqueue chunk i+1 (device goes back to work), then
-                # do the host-side bookkeeping (records, keyframe creation,
-                # mapper dispatches) while chunk i+1 computes. Keyframe DECISIONS
-                # keep the serial path's lag; only the rebuilt block's entry into
-                # tracking lags one extra chunk (it dispatches with chunk i+2) —
-                # measured to preserve ATE where a full dispatch-before-fetch
-                # depth-2 pipeline loses tracking (block starvation).
+                # Fetch -> process-critical -> dispatch -> process-deferred:
+                # block on chunk i's results, run the bookkeeping the next
+                # chunk DEPENDS on (records, mapper write-backs, keyframe
+                # insertion, local-block rebuild — heavy per-keyframe work is
+                # queued into self._deferred instead), enqueue chunk i+1 WITH
+                # the remap (the block enters tracking with serial-path
+                # freshness — pipelining the remap across the boundary was
+                # measured to starve tracking, inliers 467->98), then run the
+                # deferred mapper work (culling, triangulation/fusion/BA
+                # dispatch, stat refresh) while chunk i+1 computes on device.
                 with self.timers.time("drain"), trace_span("tracker/fetch"):
                     raw = self._fetch()
-                with self.timers.time("dispatch"), trace_span("tracker/dispatch"):
-                    self._dispatch()
                 with self.timers.time("process"), trace_span("tracker/process"):
-                    self._process(raw)
+                    self._process(raw, defer=True)
+                if self._buf:  # _process clears the buffer on tracking loss
+                    with self.timers.time("dispatch"), trace_span("tracker/dispatch"):
+                        self._dispatch()
+                with self.timers.time("process/deferred"), trace_span("tracker/deferred"):
+                    self._run_deferred()
             else:
                 with self.timers.time("dispatch"), trace_span("tracker/dispatch"):
                     self._dispatch()
@@ -530,12 +533,25 @@ class StereoTracker:
     def _drain(self) -> None:
         self._process(self._fetch())
 
+    def _run_deferred(self) -> None:
+        """Execute queued per-keyframe heavy work (see _process defer=True).
+        Every keyframe's local BA dispatches; the multi-slot BA pending list
+        lands all of them (FIFO) at the next drain RPC."""
+        q, self._deferred = self._deferred, []
+        for _kind, fn in q:
+            fn()
+
     def _fetch(self):
         """Blocking fetch of the OLDEST in-flight chunk's results — ONE RPC:
         summaries + per-frame packs/descs (so keyframe creation never fetches)
         + the in-flight local-BA / triangulation / fusion results dispatched at
         the previous keyframe. The tunnel costs ~27 ms latency per RPC
         regardless of size; the whole payload is < 1 MB."""
+        if self._deferred:
+            # safety net for path transitions (pipelined -> flush/serial): the
+            # mapper dispatches queued by the previous chunk must exist before
+            # this fetch packs their handles
+            self._run_deferred()
         fids, tss, summaries_dev, packs_dev, descs_dev, vis_dev, found_dev, block_ids = (
             self._pending.pop(0)
         )
@@ -561,16 +577,20 @@ class StereoTracker:
         Fn = self.arena.kf_xy.shape[1]
         Nn = self.cfg.mapping.triangulation_neighbors
         slots = self.max_kfs_per_chunk
+        k_ba = 0 if ba_handles is None else len(ba_handles) // 4
         k_tri = len(tri_handles) // 4
         k_fuse = len(fuse_handles)
-        pad_ok = k_tri <= slots and k_fuse <= slots
+        pad_ok = k_ba <= slots and k_tri <= slots and k_fuse <= slots
         if pad_ok:
-            fetch += ba_handles if ba_handles is not None else (
-                self._ph((cap.ba_cams, 4, 4), np.float32)
-                + self._ph((cap.ba_points, 3), np.float32)
-                + self._ph((cap.ba_obs,), np.bool_)
-                + self._ph((), np.float32)
-            )
+            if ba_handles is not None:
+                fetch += ba_handles
+            for _ in range(slots - k_ba):
+                fetch += (
+                    self._ph((cap.ba_cams, 4, 4), np.float32)
+                    + self._ph((cap.ba_points, 3), np.float32)
+                    + self._ph((cap.ba_obs,), np.bool_)
+                    + self._ph((), np.float32)
+                )
             fetch += tri_handles
             for _ in range(slots - k_tri):
                 fetch += (
@@ -605,7 +625,7 @@ class StereoTracker:
             return vals
 
         if pad_ok:
-            ba_data = take(4, 4) if ba_handles is not None else take(0, 4)
+            ba_data = take(4 * k_ba, 4 * slots)
             tri_data = take(4 * k_tri, 4 * slots)
             fuse_data = take(k_fuse, slots)
             for src, h in zip(self.aux_fetch, aux_handles):
@@ -615,7 +635,7 @@ class StereoTracker:
                     tmpl = getattr(src, "aux_templates", lambda: [])()
                     take(0, len(tmpl))
         else:
-            ba_data = take(4, 4) if ba_handles is not None else None
+            ba_data = take(4 * k_ba, 4 * k_ba) if ba_handles is not None else None
             tri_data = take(4 * k_tri, 4 * k_tri)
             fuse_data = take(k_fuse, k_fuse)
             for src, h in zip(self.aux_fetch, aux_handles):
@@ -669,9 +689,18 @@ class StereoTracker:
         with self.timers.time("drain/device_get"):
             return jax.device_get(handles)
 
-    def _process(self, raw) -> None:
+    def _process(self, raw, defer: bool = False) -> None:
         """Host-side bookkeeping for one fetched chunk: records, lost detection,
-        keyframe decision/creation, visible/found accrual, mapper result landing."""
+        keyframe decision/creation, visible/found accrual, mapper result landing.
+
+        defer=True (the pipelined path) queues each keyframe's heavy host work
+        (point-stat refresh, culling, triangulation/fusion/local-BA dispatch)
+        into self._deferred instead of running it inline; the caller runs the
+        queue AFTER dispatching the next chunk, so that host work overlaps
+        device compute (the reference's separate mapping thread,
+        local_mapper.cpp:27-87). Everything the next chunk depends on — BA/tri/
+        fuse write-backs, arena insertion, the local-block rebuild + remap —
+        still happens here, before the next dispatch."""
         (fids, tss, summaries, vis, found, packs, descs, block_ids,
          ba_data, tri_data, fuse_data, packs_dev, descs_dev) = raw
         made_kf = 0
@@ -733,27 +762,33 @@ class StereoTracker:
                     self._create_keyframe(
                         fid, ts, pose, packs[j], descs[j], block_ids,
                         ba_data=ba_data, tri_data=tri_data, fuse_data=fuse_data,
-                        pack_dev=packs_dev[j], desc_dev=descs_dev[j],
+                        pack_dev=packs_dev[j], desc_dev=descs_dev[j], defer=defer,
                     )
                     ba_data = tri_data = fuse_data = None  # consumed
                     rec.ref_kf = self.ref_kf
                     made_kf += 1
                 rec.rel_pose = self._rel_to_ref(pose, rec.ref_kf)
             self.records.append(rec)
-        if fuse_data is not None:
-            # no keyframe this chunk: still land the fetched fuse result
-            self.local_mapper.apply_pending_fuse(prefetched=fuse_data)
-        if tri_data is not None:
-            # no keyframe this chunk: still land the fetched triangulation
-            # result now (it only enters the tracking block at the next
-            # rebuild, but culling/stats see the points immediately)
-            self.local_mapper.apply_pending_triangulation(prefetched=tri_data)
-        if ba_data is not None:
-            # no keyframe this chunk: flush the in-flight local BA anyway so
-            # its refinement lands as soon as it was fetched (never let a
-            # settled result sit stale across chunks; local_mapper.cpp:27-87
-            # applies each BA before taking the next keyframe)
-            self.local_mapper.flush_ba(prefetched=ba_data)
+        if fuse_data is not None or tri_data is not None or ba_data is not None:
+            # no keyframe this chunk: still land the fetched fuse /
+            # triangulation / local-BA results (never let a settled result sit
+            # stale across chunks; local_mapper.cpp:27-87 applies each BA
+            # before taking the next keyframe). Nothing rebuilds the local
+            # block before the next keyframe's critical phase, so on the
+            # pipelined path these host write-backs defer past the next
+            # dispatch and overlap device compute.
+            def _land_pendings(_fd=fuse_data, _td=tri_data, _bd=ba_data) -> None:
+                if _fd is not None:
+                    self.local_mapper.apply_pending_fuse(prefetched=_fd)
+                if _td is not None:
+                    self.local_mapper.apply_pending_triangulation(prefetched=_td)
+                if _bd is not None:
+                    self.local_mapper.flush_ba(prefetched=_bd)
+
+            if defer:
+                self._deferred.append(("writeback", _land_pendings))
+            else:
+                _land_pendings()
         if self.state == TrackingState.LOST:
             # drop buffered/pending work — it descends from the lost state
             for (ids, tss2, *_rest) in self._pending:
@@ -931,7 +966,7 @@ class StereoTracker:
 
     def _create_keyframe(self, fid, ts, pose, pack, desc, block_ids=None,
                          ba_data=None, tri_data=None, fuse_data=None,
-                         pack_dev=None, desc_dev=None) -> int:
+                         pack_dev=None, desc_dev=None, defer=False) -> int:
         """CreateNewKeyFrame (tracker.cpp:1311-1379) for a (lag-synced) frame.
 
         pack/desc are HOST arrays (fetched by _drain's consolidated RPC), as are
@@ -991,6 +1026,9 @@ class StereoTracker:
         arena.kf_point_idx[kf] = point_ids
         # (found/visible counters accrue per-frame from the chunk accumulators)
         seen = point_ids[point_ids >= 0]
+        # stat refresh stays on the critical path: the block rebuild below
+        # selects points by the refreshed descriptors/normals, and deferring it
+        # measurably raised post-loop ATE (0.502 -> 0.536 on the circle e2e)
         self._update_point_stats(seen)
         self.ref_kf = kf
         self.ref_kf_tracked = int((point_ids >= 0).sum())
@@ -1001,6 +1039,7 @@ class StereoTracker:
             self.local_mapper.process_keyframe(
                 kf, prefetched_ba=ba_data, prefetched_tri=tri_data,
                 prefetched_fuse=fuse_data,
+                defer_queue=self._deferred if defer else None,
             )
         self.metrics.add(
             event="keyframe", frame_id=fid, kf=kf,

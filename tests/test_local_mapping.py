@@ -308,11 +308,11 @@ class TestWritebackPolicy:
                                  cull_keyframes=False))
         mapper = LocalMapper(cfg, arena, K)
         mapper._local_ba(1)  # in-flight BA, as if dispatched at the previous KF
-        assert mapper._ba_pending is not None
+        assert mapper._ba_pendings
         mapper.process_keyframe(1)  # new KF arrives, nothing prefetched
         assert mapper.ba_aborts == 1
         # the new dispatch from THIS keyframe is pending; the old one was dropped
-        assert mapper._ba_pending is not None
+        assert len(mapper._ba_pendings) == 1
 
     def test_trifuse_lag_rides_to_next_drain(self, scene):
         from slam_framework_tpu.config import MappingConfig

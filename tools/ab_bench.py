@@ -81,8 +81,10 @@ def main() -> int:
         s = SlamSystem(cfg, sync_every=sync)
         s.tracker.pipeline_depth = depth
         if "free_kf" in parts:
-            # serial_after_keyframe=True is the tracker default, so the A/B's
-            # informative arm is turning it OFF (free pipelining across KFs)
+            # r5: vestigial — the pipelined order (fetch -> process-critical ->
+            # dispatch -> deferred) overlaps post-keyframe host work with device
+            # compute on EVERY chunk while keeping serial block freshness, so
+            # there is no serial-after-keyframe arm left to toggle.
             s.tracker.serial_after_keyframe = False
         if kf_budget is not None:
             s.tracker.max_kfs_per_chunk = kf_budget
